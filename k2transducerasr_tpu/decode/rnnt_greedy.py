@@ -1,0 +1,171 @@
+"""Device-side batched RNN-T greedy search.
+
+Replaces the reference's host loop (``OfflineRecognizer.cs:127-179`` /
+``OnlineRecognizer.cs:141-202``): per frame it paid a joiner ONNX session
+dispatch plus an O(V) scalar argmax on the host.  Here the ENTIRE token loop
+is one ``lax.scan`` over frames inside jit — per step: a [B,J]x[J,V] matmul
+(MXU), a vectorized argmax, a masked decoder re-evaluation, and masked
+scatters into fixed-shape token/timestamp buffers.  Only final buffers reach
+the host.
+
+Semantics parity (SURVEY.md §5 contract):
+  * blank=0, sos/eos=1, unk=2; offline emission skips {blank, unk}
+    (OfflineRecognizer.cs:161), online additionally skips 1
+    (OnlineRecognizer.cs:181) — expressed via ``extra_skip_sos``;
+  * max_sym_per_frame=1 (OfflineRecognizer.cs:19): exactly one emission
+    attempt per frame, so the data-dependent while-loop collapses into a
+    fixed-length scan — uniform per-step work, ideal for the TPU;
+  * timestamps are emission frame indices (+ ``frame_offset`` online);
+  * lanes past their ``enc_lens`` or with a full token buffer are masked.
+
+The decoder is re-evaluated UNCONDITIONALLY every frame (uniform work beats
+divergent `lax.cond` lanes on TPU); its output is only *used* when the lane
+emitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from k2transducerasr_tpu.models import decoder as decoder_mod
+from k2transducerasr_tpu.models import joiner as joiner_mod
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GreedyState:
+    """Per-lane decode state — the device-resident half of the reference's
+    OnlineStream (Hyp/Tokens/Timestamps, OnlineStream.cs:9-20).  A pytree so
+    it can be carried through jitted chunk steps, donated, and sharded."""
+
+    hyp: Any  # [B, context_size] int32 — last context tokens
+    dec_proj: Any  # [B, joiner_dim] f32 — projected decoder output for hyp
+    tokens: Any  # [B, K] int32 — emitted tokens
+    timestamps: Any  # [B, K] int32 — emission frame index
+    count: Any  # [B] int32 — number of emitted tokens
+    trailing_blanks: Any  # [B] int32 — consecutive blank frames (endpointing)
+
+
+def init_state(
+    dec_params,
+    dec_cfg: decoder_mod.DecoderConfig,
+    join_params,
+    batch: int,
+    max_tokens: int = 1024,
+    compute_dtype=None,
+) -> GreedyState:
+    hyp = jnp.full((batch, dec_cfg.context_size), dec_cfg.blank_id, jnp.int32)
+    dec_out = decoder_mod.forward(dec_params, dec_cfg, hyp)
+    dec_proj = joiner_mod.project_decoder(join_params, dec_out, compute_dtype)
+    return GreedyState(
+        hyp=hyp,
+        dec_proj=dec_proj,
+        tokens=jnp.zeros((batch, max_tokens), jnp.int32),
+        timestamps=jnp.zeros((batch, max_tokens), jnp.int32),
+        count=jnp.zeros((batch,), jnp.int32),
+        trailing_blanks=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def greedy_frames(
+    dec_params,
+    dec_cfg: decoder_mod.DecoderConfig,
+    join_params,
+    state: GreedyState,
+    enc_proj,  # [B, T, J] — joiner-projected encoder frames (hoisted matmul)
+    enc_lens,  # [B] valid frame counts within this chunk
+    frame_offset,  # [B] absolute frame index of enc_proj[:, 0]
+    extra_skip_sos: bool = False,
+    compute_dtype=None,
+) -> GreedyState:
+    """Advance greedy decode over ``T`` encoder frames for all lanes."""
+    b, t_max, _ = enc_proj.shape
+    max_tokens = state.tokens.shape[1]
+    blank, unk = dec_cfg.blank_id, 2
+    lane = jnp.arange(b)
+
+    def step(carry: GreedyState, inp):
+        t, enc_t = inp  # enc_t: [B, J]
+        logits = joiner_mod.joint_logits(
+            join_params, enc_t, carry.dec_proj, compute_dtype
+        )
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B]
+        valid = t < enc_lens
+        is_blankish = (y == blank) | (y == unk) | ((y == 1) if extra_skip_sos else False)
+        emit = valid & ~is_blankish & (carry.count < max_tokens)
+
+        new_hyp = jnp.concatenate([carry.hyp[:, 1:], y[:, None]], axis=1)
+        hyp = jnp.where(emit[:, None], new_hyp, carry.hyp)
+        dec_out = decoder_mod.forward(dec_params, dec_cfg, hyp)
+        dec_proj_new = joiner_mod.project_decoder(join_params, dec_out, compute_dtype)
+        dec_proj = jnp.where(emit[:, None], dec_proj_new, carry.dec_proj)
+
+        pos = jnp.minimum(carry.count, max_tokens - 1)
+        tok_val = jnp.where(emit, y, carry.tokens[lane, pos])
+        ts_val = jnp.where(emit, frame_offset + t, carry.timestamps[lane, pos])
+        tokens = carry.tokens.at[lane, pos].set(tok_val)
+        timestamps = carry.timestamps.at[lane, pos].set(ts_val)
+        count = carry.count + emit.astype(jnp.int32)
+        trailing = jnp.where(
+            valid, jnp.where(emit, 0, carry.trailing_blanks + 1), carry.trailing_blanks
+        )
+        return (
+            GreedyState(hyp, dec_proj, tokens, timestamps, count, trailing),
+            (),
+        )
+
+    ts = jnp.arange(t_max)
+    final, _ = jax.lax.scan(
+        step, state, (ts, jnp.swapaxes(enc_proj, 0, 1))
+    )
+    return final
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dec_cfg", "join_cfg", "max_tokens", "extra_skip_sos", "compute_dtype"),
+)
+def rnnt_greedy_search(
+    dec_params,
+    dec_cfg: decoder_mod.DecoderConfig,
+    join_params,
+    join_cfg: joiner_mod.JoinerConfig,
+    enc_out,  # [B, T, encoder_dim]
+    enc_lens,  # [B]
+    max_tokens: int = 1024,
+    extra_skip_sos: bool = False,
+    compute_dtype=None,
+):
+    """Offline whole-utterance greedy: returns (tokens, timestamps, count)."""
+    b = enc_out.shape[0]
+    enc_proj = joiner_mod.project_encoder(join_params, enc_out, compute_dtype)
+    state = init_state(dec_params, dec_cfg, join_params, b, max_tokens, compute_dtype)
+    final = greedy_frames(
+        dec_params,
+        dec_cfg,
+        join_params,
+        state,
+        enc_proj,
+        enc_lens,
+        jnp.zeros((b,), jnp.int32),
+        extra_skip_sos,
+        compute_dtype,
+    )
+    return final.tokens, final.timestamps, final.count
+
+
+def extract_results(tokens, timestamps, count):
+    """Device buffers -> per-lane python lists (the single host transfer)."""
+    tokens = jax.device_get(tokens)
+    timestamps = jax.device_get(timestamps)
+    count = jax.device_get(count)
+    out = []
+    for b in range(tokens.shape[0]):
+        n = int(count[b])
+        out.append((tokens[b, :n].tolist(), timestamps[b, :n].tolist()))
+    return out

@@ -1,0 +1,348 @@
+"""Conformer encoder (offline + streaming), TPU-native.
+
+Capability parity with the reference's conformer ONNX sessions:
+  * offline: ``OfflineProjOfTransducer.cs:48-92`` (x [B,T,80] -> encoder_out)
+  * streaming: ``OnlineProjOfConformer.cs`` — states are per-layer attention
+    caches ``cached_attn [L, left_context, B, D]``, convolution caches
+    ``cached_conv [L, kernel-1, B, D]`` and ``processed_lens [B]``
+    (OnlineProjOfConformer.cs:55-81).
+
+Architecture (icefall pruned_transducer_stateless conformer semantics):
+Conv2dSubsampling (two stride-2 VALID 3x3 convs -> T/4) then N blocks of
+[0.5*FF, rel-pos MHSA, conv module (GLU + depthwise k=31), 0.5*FF, LN].
+
+TPU-first notes:
+  * The whole streaming state is ONE fixed-shape pytree carried through a
+    jitted chunk step with donated buffers — the reference's host-side
+    ``stack_states``/``unstack_states`` interleave loops do not exist here.
+  * Rel-pos attention uses the compact [T, S+T-1] form + take_along_axis
+    shift (no [T,S,H,dh] gather materialization).
+  * Chunked-causal masks are built once per (chunk, left-context) config so
+    the offline graph can reproduce streaming output exactly — that identity
+    is the test oracle (tests/test_conformer.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from k2transducerasr_tpu.ops import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    feature_dim: int = 80
+    d_model: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    ff_dim: int = 2048
+    cnn_kernel: int = 31
+    # streaming-trained models: causal conv + bounded-left-context attention
+    causal: bool = False
+    chunk_size: int = 16  # frames after 4x subsampling
+    left_context: int = 64  # attention left context, subsampled frames
+    subsample_out: int | None = None  # frequency-linear in-dim override
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.num_heads
+
+    def subsampled_len(self, t: int) -> int:
+        return ((t - 1) // 2 - 1) // 2
+
+    @property
+    def decode_chunk_len(self) -> int:
+        """Raw feature frames consumed per streaming step."""
+        return 4 * self.chunk_size
+
+    @property
+    def chunk_input_len(self) -> int:
+        """Raw feature frames the streaming step consumes per call: the
+        subsampling stack needs a 7-frame receptive field + stride 4, so a
+        window of 4*chunk+3 yields exactly ``chunk_size`` output frames."""
+        return 4 * self.chunk_size + 3
+
+
+Config = ConformerConfig  # registry alias
+
+
+def output_dim(cfg: ConformerConfig) -> int:
+    return cfg.d_model
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _init_layer(key, cfg: ConformerConfig):
+    ks = jax.random.split(key, 12)
+    d, ff = cfg.d_model, cfg.ff_dim
+    return {
+        "ff1": {
+            "ln": L.init_layernorm(d),
+            "w1": L.init_linear(ks[0], d, ff),
+            "w2": L.init_linear(ks[1], ff, d),
+        },
+        "attn": {
+            "ln": L.init_layernorm(d),
+            "q": L.init_linear(ks[2], d, d),
+            "k": L.init_linear(ks[3], d, d),
+            "v": L.init_linear(ks[4], d, d),
+            "pos": L.init_linear(ks[5], d, d, bias=False),
+            "out": L.init_linear(ks[6], d, d),
+            "u": jnp.zeros((cfg.num_heads, cfg.head_dim)),
+            "v_bias": jnp.zeros((cfg.num_heads, cfg.head_dim)),
+        },
+        "conv": {
+            "ln": L.init_layernorm(d),
+            "pw1": L.init_conv1d(ks[7], d, 2 * d, kernel=1),
+            "dw": L.init_conv1d(ks[8], d, d, kernel=cfg.cnn_kernel, groups=d),
+            "bn": L.init_batchnorm(d),
+            "pw2": L.init_conv1d(ks[9], d, d, kernel=1),
+        },
+        "ff2": {
+            "ln": L.init_layernorm(d),
+            "w1": L.init_linear(ks[10], d, ff),
+            "w2": L.init_linear(ks[11], ff, d),
+        },
+        "norm_final": L.init_layernorm(d),
+    }
+
+
+def init_params(key, cfg: ConformerConfig):
+    k_sub, k_lin, *k_layers = jax.random.split(key, cfg.num_layers + 2)
+    freq_out = ((cfg.feature_dim - 1) // 2 - 1) // 2
+    sub = {
+        "conv1": L.init_conv2d(k_sub, 1, cfg.d_model, (3, 3)),
+        "conv2": L.init_conv2d(jax.random.fold_in(k_sub, 1), cfg.d_model, cfg.d_model, (3, 3)),
+        "out": L.init_linear(k_lin, cfg.d_model * freq_out, cfg.d_model),
+    }
+    return {
+        "subsample": sub,
+        "layers": [_init_layer(k, cfg) for k in k_layers],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Subsampling
+# ---------------------------------------------------------------------------
+
+
+def subsample(params, cfg: ConformerConfig, x, compute_dtype=None):
+    """x: [B, T, F] -> [B, T', d_model], T' = ((T-1)//2 - 1)//2."""
+    h = x[..., None]  # [B, T, F, 1]
+    h = jax.nn.relu(L.apply_conv2d(params["conv1"], h, strides=(2, 2), compute_dtype=compute_dtype))
+    h = jax.nn.relu(L.apply_conv2d(params["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
+    b, t, f, c = h.shape
+    h = h.reshape(b, t, f * c)
+    return L.apply_linear(params["out"], h, compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Relative positional attention
+# ---------------------------------------------------------------------------
+
+
+def _rel_pos_emb(t_q: int, s_kv: int, dim: int, dtype=jnp.float32):
+    """Sinusoidal embeddings for relative positions r = t_global - s, laid
+    out as rho = r + (t_q - 1), rho in [0, t_q + s_kv - 1); r spans
+    [-(t_q-1), s_kv-1]."""
+    r = jnp.arange(-(t_q - 1), s_kv, dtype=jnp.float32)  # [R]
+    inv = jnp.exp(
+        jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
+    )
+    ang = r[:, None] * inv[None, :]
+    pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
+    return pe.astype(dtype)  # [R, dim]
+
+
+def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=None):
+    """Transformer-XL attention with queries as the LAST t_q positions of the
+    kv sequence (true offline, where x_q == x_kv, and streaming, where x_kv
+    is [cache | chunk]).
+
+    x_q: [B, T, D]; x_kv: [B, S, D]; mask: [B, T, S] bool (True = attend) or
+    None.  Returns [B, T, D].
+    """
+    h, dh = cfg.num_heads, cfg.head_dim
+    b, t, d = x_q.shape
+    s = x_kv.shape[1]
+
+    q = L.apply_linear(p["q"], x_q, compute_dtype).reshape(b, t, h, dh)
+    k = L.apply_linear(p["k"], x_kv, compute_dtype).reshape(b, s, h, dh)
+    v = L.apply_linear(p["v"], x_kv, compute_dtype).reshape(b, s, h, dh)
+
+    pe = _rel_pos_emb(t, s, d)
+    pos = L.apply_linear(p["pos"], pe, compute_dtype).reshape(-1, h, dh)  # [R, H, dh]
+
+    scale = 1.0 / math.sqrt(dh)
+    q_u = (q + p["u"]).astype(k.dtype)
+    q_v = (q + p["v_bias"]).astype(k.dtype)
+    ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
+    bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
+    # shift: scores[t, s] need rho = (t + off) - s + (t_q - 1), off = s_kv - t_q
+    off = s - t
+    idx = (jnp.arange(t)[:, None] + off - jnp.arange(s)[None, :]) + (t - 1)
+    bd = jnp.take_along_axis(
+        bd_full, jnp.broadcast_to(idx, (b, h, t, s)), axis=-1
+    )
+    scores = (ac + bd) * scale  # [B, H, T, S] f32
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    return L.apply_linear(p["out"], ctx.reshape(b, t, h * dh), compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Conformer block
+# ---------------------------------------------------------------------------
+
+
+def _ff(p, x, compute_dtype):
+    h = L.apply_layernorm(p["ln"], x)
+    h = L.swish(L.apply_linear(p["w1"], h, compute_dtype))
+    return L.apply_linear(p["w2"], h, compute_dtype)
+
+
+def _conv_module(p, cfg: ConformerConfig, x, compute_dtype, conv_cache=None, valid=None):
+    """x: [B, T, D].  conv_cache: [B, kernel-1, D] left context (causal) or
+    None (offline SAME padding for non-causal, zero left-pad for causal).
+    ``valid``: [B, T] bool — padded positions are zeroed before the depthwise
+    conv so they cannot bleed into valid frames through its receptive field.
+    Returns (out, new_cache)."""
+    h = L.apply_layernorm(p["ln"], x)
+    h = L.glu(L.apply_conv1d(p["pw1"], h, padding="SAME", compute_dtype=compute_dtype))
+    if valid is not None:
+        h = jnp.where(valid[:, :, None], h, 0.0)
+    k = cfg.cnn_kernel
+    if cfg.causal:
+        if conv_cache is None:
+            cache = jnp.zeros((x.shape[0], k - 1, x.shape[2]), h.dtype)
+        else:
+            cache = conv_cache.astype(h.dtype)
+        hc = jnp.concatenate([cache, h], axis=1)
+        new_cache = hc[:, -(k - 1) :, :]
+        h = L.apply_conv1d(p["dw"], hc, groups=cfg.d_model, padding="VALID", compute_dtype=compute_dtype)
+    else:
+        new_cache = None
+        h = L.apply_conv1d(p["dw"], h, groups=cfg.d_model, padding="SAME", compute_dtype=compute_dtype)
+    h = L.swish(L.apply_batchnorm(p["bn"], h))
+    h = L.apply_conv1d(p["pw2"], h, padding="SAME", compute_dtype=compute_dtype)
+    return h, new_cache
+
+
+def _block(p, cfg: ConformerConfig, x, mask, compute_dtype, conv_cache=None, valid=None):
+    """One conformer layer (offline: attention kv == q sequence, both at the
+    post-ff1 stage — the same stage the streaming path caches).
+    Returns (out, new_conv_cache)."""
+    x = x + 0.5 * _ff(p["ff1"], x, compute_dtype)
+    attn_in = L.apply_layernorm(p["attn"]["ln"], x)
+    x = x + rel_pos_attention(p["attn"], cfg, attn_in, attn_in, mask, compute_dtype)
+    h, new_cache = _conv_module(p["conv"], cfg, x, compute_dtype, conv_cache, valid)
+    x = x + h
+    x = x + 0.5 * _ff(p["ff2"], x, compute_dtype)
+    return L.apply_layernorm(p["norm_final"], x), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Offline forward
+# ---------------------------------------------------------------------------
+
+
+def _chunk_causal_mask(t: int, chunk: int, left: int):
+    """[t, t] bool: query i attends j iff j <= chunk_end(i) and
+    j >= chunk_start(i) - left  (icefall streaming chunked-attention mask)."""
+    q = jnp.arange(t)[:, None]
+    s = jnp.arange(t)[None, :]
+    chunk_start = (q // chunk) * chunk
+    chunk_end = chunk_start + chunk - 1
+    return (s <= chunk_end) & (s >= chunk_start - left)
+
+
+def forward(params, cfg: ConformerConfig, x, x_lens, compute_dtype=None):
+    """x: [B, T, F]; x_lens: [B] -> (enc_out [B, T', D], out_lens [B])."""
+    b, t, _ = x.shape
+    h = subsample(params["subsample"], cfg, x, compute_dtype)
+    t_sub = h.shape[1]
+    out_lens = ((x_lens - 1) // 2 - 1) // 2
+    valid = L.length_mask(out_lens, t_sub)  # [B, T']
+    mask = valid[:, None, :] & valid[:, :, None]  # [B, T', T']
+    if cfg.causal:
+        mask = mask & _chunk_causal_mask(t_sub, cfg.chunk_size, cfg.left_context)[None]
+    for layer in params["layers"]:
+        h, _ = _block(layer, cfg, h, mask, compute_dtype, valid=valid)
+        h = jnp.where(valid[:, :, None], h, 0.0)
+    return h, out_lens
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+def init_state(cfg: ConformerConfig, batch: int):
+    """Fixed-shape streaming state pytree (the reference's cached_attn /
+    cached_conv / processed_lens, OnlineProjOfConformer.cs:55-81 — but laid
+    out [L, B, ...] so the whole pytree batches trivially)."""
+    lc, k, d = cfg.left_context, cfg.cnn_kernel, cfg.d_model
+    return {
+        "attn": jnp.zeros((cfg.num_layers, batch, lc, d), jnp.float32),
+        "conv": jnp.zeros((cfg.num_layers, batch, k - 1, d), jnp.float32),
+        "processed": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=None):
+    """One chunk step.  x_chunk: [B, chunk_input_len, F] raw features ->
+    (enc_out [B, chunk_size, D], new_state).
+
+    The attention cache stores each layer's post-ff1 sublayer input for the
+    previous ``left_context`` subsampled frames.
+    """
+    b = x_chunk.shape[0]
+    lc, c = cfg.left_context, cfg.chunk_size
+    h = subsample(params["subsample"], cfg, x_chunk, compute_dtype)  # [B, c, D]
+    processed = state["processed"]
+
+    # attention mask over [cache | chunk]: cache slot j is valid if it holds
+    # a real frame, i.e. j >= lc - min(processed, lc)
+    cache_pos = jnp.arange(lc)[None, :]  # [1, lc]
+    cache_valid = cache_pos >= (lc - jnp.minimum(processed, lc))[:, None]
+    kv_valid = jnp.concatenate(
+        [cache_valid, jnp.ones((b, c), bool)], axis=1
+    )  # [B, lc + c]
+    mask = jnp.broadcast_to(kv_valid[:, None, :], (b, c, lc + c))
+
+    new_attn = []
+    new_conv = []
+    for i, layer in enumerate(params["layers"]):
+        x_ff = h + 0.5 * _ff(layer["ff1"], h, compute_dtype)
+        kv = jnp.concatenate([state["attn"][i].astype(x_ff.dtype), x_ff], axis=1)
+        new_attn.append(kv[:, -lc:, :].astype(jnp.float32))
+        attn_in = L.apply_layernorm(layer["attn"]["ln"], x_ff)
+        kv_in = L.apply_layernorm(layer["attn"]["ln"], kv)
+        x_attn = x_ff + rel_pos_attention(
+            layer["attn"], cfg, attn_in, kv_in, mask, compute_dtype
+        )
+        hcv, conv_cache = _conv_module(
+            layer["conv"], cfg, x_attn, compute_dtype, state["conv"][i]
+        )
+        new_conv.append(conv_cache.astype(jnp.float32))
+        x_cv = x_attn + hcv
+        x_out = x_cv + 0.5 * _ff(layer["ff2"], x_cv, compute_dtype)
+        h = L.apply_layernorm(layer["norm_final"], x_out)
+
+    new_state = {
+        "attn": jnp.stack(new_attn),
+        "conv": jnp.stack(new_conv),
+        "processed": processed + c,
+    }
+    return h, new_state

@@ -1,0 +1,202 @@
+"""Shared neural-net ops as pure functions over param pytrees.
+
+Conventions:
+  * Params are nested dicts of ``jnp.ndarray`` stored in float32.
+  * ``apply_*`` functions are shape-polymorphic over leading batch axes and
+    respect an optional ``compute_dtype`` (bf16 on TPU) with f32 accumulation
+    via ``preferred_element_type`` so matmuls land on the MXU at full rate.
+  * Initializers take an explicit PRNG key; no global state.
+
+These are the building blocks for the encoder families that replace the
+reference's opaque ONNX graphs (SURVEY.md §2.2 row 1).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def _uniform(key, shape, scale):
+    return jax.random.uniform(key, shape, jnp.float32, -scale, scale)
+
+
+# ---------------------------------------------------------------------------
+# Linear
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, in_dim: int, out_dim: int, bias: bool = True):
+    kw, kb = jax.random.split(key)
+    scale = 1.0 / math.sqrt(in_dim)
+    p = {"w": _uniform(kw, (in_dim, out_dim), scale)}
+    if bias:
+        p["b"] = _uniform(kb, (out_dim,), scale)
+    return p
+
+
+def apply_linear(p, x, compute_dtype=None):
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def init_layernorm(dim: int):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def apply_layernorm(p, x, eps: float = 1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def init_biasnorm(dim: int):
+    """icefall Zipformer BiasNorm: x / rms(x - bias) * exp(log_scale)."""
+    return {"bias": jnp.zeros((dim,)), "log_scale": jnp.zeros(())}
+
+
+def apply_biasnorm(p, x, eps: float = 1e-8):
+    x32 = x.astype(jnp.float32)
+    centered = x32 - p["bias"]
+    rms = jnp.sqrt(jnp.mean(centered * centered, axis=-1, keepdims=True) + eps)
+    return (x32 / rms * jnp.exp(p["log_scale"])).astype(x.dtype)
+
+
+def init_batchnorm(dim: int):
+    """Inference-mode batchnorm (folded running stats), used by the conformer
+    conv module.  At import time running stats fold into scale/bias."""
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def apply_batchnorm(p, x):
+    return x * p["scale"] + p["bias"]
+
+
+# ---------------------------------------------------------------------------
+# Activations (icefall zipformer family)
+# ---------------------------------------------------------------------------
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def swoosh_l(x):
+    """SwooshL(x) = log(1 + exp(x-4)) - 0.08x - 0.035 (icefall zipformer2)."""
+    return jnp.logaddexp(0.0, x - 4.0) - 0.08 * x - 0.035
+
+
+def swoosh_r(x):
+    """SwooshR(x) = log(1 + exp(x-1)) - 0.08x - 0.313261687."""
+    return jnp.logaddexp(0.0, x - 1.0) - 0.08 * x - 0.313261687
+
+
+def glu(x, axis=-1):
+    a, b = jnp.split(x, 2, axis=axis)
+    return a * jax.nn.sigmoid(b)
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1, bias: bool = True):
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch // groups * kernel
+    scale = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(kw, (kernel, in_ch // groups, out_ch), scale)}
+    if bias:
+        p["b"] = _uniform(kb, (out_ch,), scale)
+    return p
+
+
+def apply_conv1d(p, x, groups: int = 1, padding="SAME", compute_dtype=None):
+    """x: [B, T, C_in] -> [B, T', C_out].  Weight layout [K, C_in/g, C_out]."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=padding,
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def init_conv2d(key, in_ch: int, out_ch: int, kernel: tuple[int, int], bias: bool = True):
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel[0] * kernel[1]
+    scale = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(kw, (*kernel, in_ch, out_ch), scale)}
+    if bias:
+        p["b"] = _uniform(kb, (out_ch,), scale)
+    return p
+
+
+def apply_conv2d(p, x, strides=(1, 1), padding="VALID", compute_dtype=None):
+    """x: [B, H, W, C_in] -> [B, H', W', C_out].  Weight [kh, kw, C_in, C_out]."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Embedding
+# ---------------------------------------------------------------------------
+
+
+def init_embedding(key, vocab: int, dim: int):
+    return {"table": jax.random.normal(key, (vocab, dim), jnp.float32)}
+
+
+def apply_embedding(p, ids):
+    return jnp.take(p["table"], ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Masking helpers
+# ---------------------------------------------------------------------------
+
+
+def length_mask(lengths, max_len: int):
+    """[B] lengths -> [B, max_len] bool mask (True = valid)."""
+    pos = jnp.arange(max_len)[None, :]
+    return pos < lengths[:, None]
+
+
+NEG_INF = -1e9  # attention mask fill (f32-safe, bf16-safe)

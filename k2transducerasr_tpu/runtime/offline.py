@@ -1,5 +1,188 @@
-"""Placeholder — implemented in the offline-runtime milestone."""
-class OfflineStream:  # pragma: no cover
-    pass
-class OfflineRecognizer:  # pragma: no cover
-    pass
+"""Offline (whole-utterance) recognizer — public API.
+
+Parity surface with the reference (``OfflineRecognizer.cs:71-91``):
+``create_offline_stream()``, ``stream.add_samples(pcm)``, ``get_result(s)``,
+``get_results(streams)``; decoding methods ``greedy_search`` (RNN-T) and
+``greedy_search_ctc`` (forced for *ctc model types,
+OfflineRecognizer.cs:46-49).
+
+TPU-first execution: ONE jitted program per (batch-bucket, frame-bucket)
+runs fbank -> encoder -> joiner-projection -> full greedy scan on device;
+the host sees only final token buffers.  The reference instead crosses the
+managed/native boundary per frame (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k2transducerasr_tpu.decode import ctc_greedy, rnnt_greedy
+from k2transducerasr_tpu.frontend.fbank import FbankExtractor, num_frames_for
+from k2transducerasr_tpu.models import ctc as ctc_mod
+from k2transducerasr_tpu.models import joiner as joiner_mod
+from k2transducerasr_tpu.runtime.bundle import ModelBundle
+from k2transducerasr_tpu.text.postprocess import tokens_to_text
+
+
+@dataclasses.dataclass
+class OfflineRecognizerResult:
+    """Reference: OfflineRecognizerResultEntity (text/text_len/tokens/
+    timestamps — the reference never fills the last two; we do)."""
+
+    text: str
+    tokens: list[str]
+    timestamps: list[int]
+
+    @property
+    def text_len(self) -> int:
+        return len(self.text)
+
+
+class OfflineStream:
+    """Per-utterance sample accumulator (reference OfflineStream.cs — but
+    features are computed batched at decode time, not per add_samples call;
+    equivalent under snip_edges and one device dispatch instead of many)."""
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+        self._chunks: list[np.ndarray] = []
+        self.result: OfflineRecognizerResult | None = None
+
+    def add_samples(self, samples: np.ndarray) -> None:
+        self._chunks.append(np.asarray(samples, dtype=np.float32))
+
+    @property
+    def samples(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0, np.float32)
+        if len(self._chunks) > 1:
+            self._chunks = [np.concatenate(self._chunks)]
+        return self._chunks[0]
+
+    # C#-style aliases
+    AddSamples = add_samples
+
+
+def _bucket(n: int, step: int, minimum: int) -> int:
+    return max(minimum, -(-n // step) * step)
+
+
+class OfflineRecognizer:
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        decoding_method: str = "greedy_search",
+        compute_dtype=jnp.bfloat16,
+        max_tokens: int = 1024,
+        frame_bucket: int = 256,
+    ):
+        if bundle.is_ctc:
+            decoding_method = "greedy_search_ctc"  # forced, as in reference
+        if decoding_method not in ("greedy_search", "greedy_search_ctc"):
+            raise ValueError(f"unsupported decoding method {decoding_method!r}")
+        self.bundle = bundle
+        self.decoding_method = decoding_method
+        self.compute_dtype = compute_dtype
+        self.max_tokens = max_tokens
+        self.frame_bucket = frame_bucket
+        self._extractor = FbankExtractor(bundle.frontend_cfg)
+        self._decode_fn = self._build_decode_fn()
+
+    # -- public API ---------------------------------------------------------
+
+    def create_offline_stream(self) -> OfflineStream:
+        return OfflineStream(self.bundle.frontend_cfg.sample_rate)
+
+    create_stream = create_offline_stream
+    CreateOfflineStream = create_offline_stream
+
+    def get_result(self, stream: OfflineStream) -> OfflineRecognizerResult:
+        return self.get_results([stream])[0]
+
+    def get_results(self, streams: list[OfflineStream]) -> list[OfflineRecognizerResult]:
+        cfg = self.bundle.frontend_cfg
+        b = len(streams)
+        n_samples = [len(s.samples) for s in streams]
+        n_max = max(n_samples)
+        batch = np.zeros((b, n_max), np.float32)
+        for i, s in enumerate(streams):
+            batch[i, : n_samples[i]] = s.samples
+        feats, n_frames = self._extractor(batch, n_valid=np.asarray(n_samples))
+
+        t_pad = _bucket(int(n_frames.max(initial=1)), self.frame_bucket, self.frame_bucket)
+        feats = feats[:, :t_pad] if feats.shape[1] >= t_pad else jnp.pad(
+            feats, ((0, 0), (0, t_pad - feats.shape[1]), (0, 0))
+        )
+        tokens, timestamps, count = self._decode_fn(
+            self.bundle.params, feats, jnp.asarray(n_frames)
+        )
+        raw = rnnt_greedy.extract_results(tokens, timestamps, count)
+        results = []
+        for i, (toks, stamps) in enumerate(raw):
+            text = tokens_to_text(toks, self.bundle.tokens)
+            results.append(
+                OfflineRecognizerResult(
+                    text=text,
+                    tokens=[self.bundle.tokens.get(t) for t in toks],
+                    timestamps=stamps,
+                )
+            )
+            streams[i].result = results[-1]
+        return results
+
+    GetResult = get_result
+    GetResults = get_results
+
+    # -- jitted end-to-end decode ------------------------------------------
+
+    def _build_decode_fn(self):
+        bundle = self.bundle
+        enc_mod = bundle.encoder
+        enc_cfg = bundle.encoder_cfg
+        compute_dtype = self.compute_dtype
+        max_tokens = self.max_tokens
+
+        if self.decoding_method == "greedy_search_ctc":
+
+            @functools.partial(jax.jit)
+            def decode(params, feats, feat_lens):
+                enc_out, enc_lens = enc_mod.forward(
+                    params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
+                )
+                lp = ctc_mod.log_probs(params["ctc"], enc_out, compute_dtype)
+                state = ctc_greedy.init_state(feats.shape[0], max_tokens)
+                final = ctc_greedy.ctc_frames(
+                    state, lp, enc_lens, jnp.zeros((feats.shape[0],), jnp.int32)
+                )
+                return final.tokens, final.timestamps, final.count
+
+            return decode
+
+        dec_cfg = bundle.decoder_cfg
+
+        @functools.partial(jax.jit)
+        def decode(params, feats, feat_lens):
+            enc_out, enc_lens = enc_mod.forward(
+                params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
+            )
+            enc_proj = joiner_mod.project_encoder(
+                params["joiner"], enc_out, compute_dtype
+            )
+            state = rnnt_greedy.init_state(
+                params["decoder"], dec_cfg, params["joiner"], feats.shape[0],
+                max_tokens, compute_dtype,
+            )
+            final = rnnt_greedy.greedy_frames(
+                params["decoder"], dec_cfg, params["joiner"], state,
+                enc_proj, enc_lens,
+                jnp.zeros((feats.shape[0],), jnp.int32),
+                False, compute_dtype,
+            )
+            return final.tokens, final.timestamps, final.count
+
+        return decode

@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from k2transducerasr_tpu.models.conformer import ConformerConfig
+from k2transducerasr_tpu.runtime.bundle import ModelBundle
+from k2transducerasr_tpu.runtime.offline import OfflineRecognizer
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    cfg = ConformerConfig(
+        feature_dim=80, d_model=64, num_layers=2, num_heads=4, ff_dim=96, cnn_kernel=7
+    )
+    return ModelBundle.random(
+        "conformer", cfg, vocab_size=32, seed=0, decoder_dim=48, joiner_dim=40
+    )
+
+
+def _pcm(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    return (0.3 * np.sin(2 * np.pi * 300 * t) + 0.1 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+
+
+def test_e2e_single(bundle):
+    rec = OfflineRecognizer(bundle, compute_dtype=None)
+    s = rec.create_offline_stream()
+    s.add_samples(_pcm(16000))
+    res = rec.get_result(s)
+    assert isinstance(res.text, str)
+    assert len(res.tokens) == len(res.timestamps)
+    # deterministic
+    s2 = rec.create_offline_stream()
+    s2.add_samples(_pcm(16000))
+    assert rec.get_result(s2).text == res.text
+
+
+def test_e2e_batch_matches_single(bundle):
+    rec = OfflineRecognizer(bundle, compute_dtype=None)
+    streams = []
+    for i, n in enumerate([16000, 12000, 8000]):
+        s = rec.create_offline_stream()
+        s.add_samples(_pcm(n, seed=i))
+        streams.append(s)
+    batch = rec.get_results(streams)
+    for i, n in enumerate([16000, 12000, 8000]):
+        s = rec.create_offline_stream()
+        s.add_samples(_pcm(n, seed=i))
+        single = rec.get_result(s)
+        assert single.text == batch[i].text
+        assert single.timestamps == batch[i].timestamps
+
+
+def test_ctc_model_forces_ctc_decoding(bundle):
+    cfg = ConformerConfig(
+        feature_dim=80, d_model=64, num_layers=1, num_heads=4, ff_dim=96, cnn_kernel=7
+    )
+    # conformer has no registered ctc variant; emulate via zipformer2ctc once
+    # available.  Here: request ctc on a transducer bundle -> ValueError.
+    with pytest.raises(ValueError):
+        OfflineRecognizer(bundle, decoding_method="modified_beam_search")
+
+
+def test_bundle_save_load_roundtrip(tmp_path, bundle):
+    d = str(tmp_path / "model")
+    bundle.save(d)
+    loaded = ModelBundle.from_dir(d)
+    assert loaded.model_type == "conformer"
+    assert loaded.encoder_cfg == bundle.encoder_cfg
+    assert loaded.decoder_cfg == bundle.decoder_cfg
+
+    rec1 = OfflineRecognizer(bundle, compute_dtype=None)
+    rec2 = OfflineRecognizer(loaded, compute_dtype=None)
+    s1, s2 = rec1.create_offline_stream(), rec2.create_offline_stream()
+    s1.add_samples(_pcm(9000))
+    s2.add_samples(_pcm(9000))
+    assert rec1.get_result(s1).text == rec2.get_result(s2).text
