@@ -184,18 +184,20 @@ def frame_indices(num_frames: int, cfg: FbankConfig) -> jnp.ndarray:
     return jnp.asarray(starts[:, None] + offs[None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
-def _fbank_impl(samples, n_valid, cfg: FbankConfig, num_frames: int, dither_key):
-    """samples: [B, N] float32; n_valid: [B] int32 valid sample counts.
+def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None):
+    """Pure fbank over a sample window — composable inside larger jitted
+    programs (the online chunk step fuses this with encoder + search).
 
-    Returns feats [B, num_frames, num_mel_bins] (frames past a stream's valid
-    count are garbage — callers mask with ``num_frames_for``).
+    samples: [B, N] float32 (N >= (num_frames-1)*shift + frame_length).
+    Returns feats [B, num_frames, num_mel_bins].
     """
     dft, mel = _matrices_cached(cfg)
     idx = frame_indices(num_frames, cfg)  # [T, L]
     x = samples * cfg.input_scale
     frames = x[:, idx]  # [B, T, L] gather
     if cfg.dither > 0.0:
+        if dither_key is None:
+            dither_key = jax.random.PRNGKey(0)
         noise = jax.random.normal(dither_key, frames.shape, dtype=frames.dtype)
         frames = frames + cfg.dither * noise
     # precision=HIGHEST: feature extraction must be f32-exact on the MXU
@@ -220,8 +222,15 @@ def _fbank_impl(samples, n_valid, cfg: FbankConfig, num_frames: int, dither_key)
     )
     if cfg.use_log_fbank:
         feats = jnp.log(jnp.maximum(feats, _EPS))
-    del n_valid
     return feats
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
+def _fbank_impl(samples, n_valid, cfg: FbankConfig, num_frames: int, dither_key):
+    """Jitted batch entry.  Frames past a stream's valid count are garbage —
+    callers mask with ``num_frames_for``."""
+    del n_valid
+    return fbank_compute(samples, cfg, num_frames, dither_key)
 
 
 class FbankExtractor:

@@ -290,12 +290,13 @@ def forward(params, cfg: ConformerConfig, x, x_lens, compute_dtype=None):
 
 def init_state(cfg: ConformerConfig, batch: int):
     """Fixed-shape streaming state pytree (the reference's cached_attn /
-    cached_conv / processed_lens, OnlineProjOfConformer.cs:55-81 — but laid
-    out [L, B, ...] so the whole pytree batches trivially)."""
+    cached_conv / processed_lens, OnlineProjOfConformer.cs:55-81).  Every
+    leaf is laid out batch-leading ``[B, ...]`` — the framework-wide state
+    convention, so the online lane pool can scatter/select on axis 0."""
     lc, k, d = cfg.left_context, cfg.cnn_kernel, cfg.d_model
     return {
-        "attn": jnp.zeros((cfg.num_layers, batch, lc, d), jnp.float32),
-        "conv": jnp.zeros((cfg.num_layers, batch, k - 1, d), jnp.float32),
+        "attn": jnp.zeros((batch, cfg.num_layers, lc, d), jnp.float32),
+        "conv": jnp.zeros((batch, cfg.num_layers, k - 1, d), jnp.float32),
         "processed": jnp.zeros((batch,), jnp.int32),
     }
 
@@ -325,7 +326,7 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
     new_conv = []
     for i, layer in enumerate(params["layers"]):
         x_ff = h + 0.5 * _ff(layer["ff1"], h, compute_dtype)
-        kv = jnp.concatenate([state["attn"][i].astype(x_ff.dtype), x_ff], axis=1)
+        kv = jnp.concatenate([state["attn"][:, i].astype(x_ff.dtype), x_ff], axis=1)
         new_attn.append(kv[:, -lc:, :].astype(jnp.float32))
         attn_in = L.apply_layernorm(layer["attn"]["ln"], x_ff)
         kv_in = L.apply_layernorm(layer["attn"]["ln"], kv)
@@ -333,7 +334,7 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
             layer["attn"], cfg, attn_in, kv_in, mask, compute_dtype
         )
         hcv, conv_cache = _conv_module(
-            layer["conv"], cfg, x_attn, compute_dtype, state["conv"][i]
+            layer["conv"], cfg, x_attn, compute_dtype, state["conv"][:, i]
         )
         new_conv.append(conv_cache.astype(jnp.float32))
         x_cv = x_attn + hcv
@@ -341,8 +342,8 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
         h = L.apply_layernorm(layer["norm_final"], x_out)
 
     new_state = {
-        "attn": jnp.stack(new_attn),
-        "conv": jnp.stack(new_conv),
+        "attn": jnp.stack(new_attn, axis=1),
+        "conv": jnp.stack(new_conv, axis=1),
         "processed": processed + c,
     }
     return h, new_state

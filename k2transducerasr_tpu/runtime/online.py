@@ -1,5 +1,312 @@
-"""Placeholder — implemented in the streaming-runtime milestone."""
-class OnlineStream:  # pragma: no cover
-    pass
-class OnlineRecognizer:  # pragma: no cover
-    pass
+"""Online (streaming) recognizer — public API.
+
+Parity surface with the reference (``OnlineRecognizer.cs:60-84``):
+``create_online_stream()``, ``stream.add_samples(pcm)``,
+``stream.input_finished()``, ``get_result(stream)``/``get_results(streams)``
+called repeatedly per chunk, partial text per call, ``stream.is_finished``.
+
+TPU-first design — the reference's per-chunk host work (gather chunks, host
+``stack_states``/``unstack_states`` memcpy of every cache tensor,
+OnlineProjOfZipformer2.cs:144-489, per-frame joiner dispatches) is replaced
+by a **device-resident lane pool**:
+
+  * the recognizer owns fixed-shape state pytrees sized ``[max_lanes, ...]``
+    (encoder caches + greedy/CTC decode state) that NEVER leave the device;
+  * each ``get_results`` call runs ONE jitted step over all lanes:
+    fbank (matmul-DFT) -> encoder streaming_step -> greedy scan, with
+    inactive lanes masked (uniform work, single compiled shape);
+  * streams are host-side sample buffers + a lane index; per chunk the host
+    ships only raw sample windows in and token counts out.
+
+Stream lifecycle mirrors OnlineStream.cs: a stream is ready when a full
+chunk window is buffered (GetDecodeChunk returns null otherwise,
+OnlineStream.cs:82-104); ``input_finished`` zero-pads the tail so the last
+partial window flushes (the reference's 30x400-zero tail flush,
+Examples/OnlineRecognizer.cs:136-139, is built in).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k2transducerasr_tpu.decode import ctc_greedy, rnnt_greedy
+from k2transducerasr_tpu.frontend.fbank import fbank_compute
+from k2transducerasr_tpu.models import ctc as ctc_mod
+from k2transducerasr_tpu.models import joiner as joiner_mod
+from k2transducerasr_tpu.runtime.bundle import ModelBundle
+from k2transducerasr_tpu.text.postprocess import tokens_to_text
+
+
+@dataclasses.dataclass
+class OnlineRecognizerResult:
+    text: str
+    tokens: list[str]
+    timestamps: list[int]
+
+    @property
+    def text_len(self) -> int:
+        return len(self.text)
+
+
+class OnlineStream:
+    """Host half of a stream: raw-sample ring buffer + lane handle.  The
+    decode state (encoder caches, hyp, token buffers) lives device-side in
+    the recognizer's lane pool."""
+
+    def __init__(self, recognizer: "OnlineRecognizer", lane: int):
+        self._rec = recognizer
+        self.lane = lane
+        self._buf = np.zeros(0, np.float32)
+        self._consumed = 0  # samples already dropped from the left of _buf
+        self.finished_input = False
+        self.is_finished = False  # fully drained after input_finished
+        self.result: OnlineRecognizerResult | None = None
+
+    def add_samples(self, samples: np.ndarray) -> None:
+        if self.finished_input:
+            raise RuntimeError("add_samples after input_finished")
+        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+
+    def input_finished(self) -> None:
+        """Declare end of audio; pads zeros so every remaining frame flushes
+        through the chunked encoder (reference tail-flush semantics)."""
+        if self.finished_input:
+            return
+        self.finished_input = True
+        win = self._rec.window_samples
+        hop = self._rec.hop_samples
+        # pad so that at least one more full window exists past current data
+        n = len(self._buf)
+        k = max(0, -(-max(n - win, 0) // hop)) + 1
+        need = win + k * hop
+        if need > n:
+            self._buf = np.concatenate([self._buf, np.zeros(need - n, np.float32)])
+
+    # C#-style aliases
+    AddSamples = add_samples
+    InputFinished = input_finished
+
+    # -- internals ----------------------------------------------------------
+
+    def _ready(self) -> bool:
+        return not self.is_finished and len(self._buf) >= self._rec.window_samples
+
+    def _take_window(self) -> np.ndarray:
+        win = self._rec.window_samples
+        hop = self._rec.hop_samples
+        out = self._buf[:win]
+        self._buf = self._buf[hop:]
+        self._consumed += hop
+        if self.finished_input and len(self._buf) < win:
+            self.is_finished = True
+        return out
+
+
+class OnlineRecognizer:
+    def __init__(
+        self,
+        bundle: ModelBundle,
+        decoding_method: str = "greedy_search",
+        compute_dtype=jnp.bfloat16,
+        max_lanes: int = 8,
+        max_tokens: int = 512,
+    ):
+        if bundle.is_ctc:
+            decoding_method = "greedy_search_ctc"
+        if decoding_method not in ("greedy_search", "greedy_search_ctc"):
+            raise ValueError(f"unsupported decoding method {decoding_method!r}")
+        self.bundle = bundle
+        self.decoding_method = decoding_method
+        self.compute_dtype = compute_dtype
+        self.max_lanes = max_lanes
+        self.max_tokens = max_tokens
+
+        enc_cfg = bundle.encoder_cfg
+        fcfg = bundle.frontend_cfg
+        # raw-feature window per step and hop, in samples
+        self.chunk_frames = enc_cfg.chunk_size  # subsampled frames out
+        self._feat_window = enc_cfg.chunk_input_len
+        self._feat_hop = enc_cfg.decode_chunk_len
+        self.window_samples = (self._feat_window - 1) * fcfg.frame_shift + fcfg.frame_length
+        self.hop_samples = self._feat_hop * fcfg.frame_shift
+
+        self._free_lanes = list(range(max_lanes))
+        self._streams: dict[int, OnlineStream] = {}
+        # device lane pool
+        self._enc_state = bundle.encoder.init_state(enc_cfg, max_lanes)
+        self._dec_state = self._init_dec_state()
+        self._frame_count = jnp.zeros((max_lanes,), jnp.int32)  # subsampled frames done
+        self._step_fn = self._build_step_fn()
+        self._reset_template = None
+
+    # -- public API ---------------------------------------------------------
+
+    def create_online_stream(self) -> OnlineStream:
+        if not self._free_lanes:
+            raise RuntimeError(
+                f"all {self.max_lanes} lanes busy; raise max_lanes or dispose streams"
+            )
+        lane = self._free_lanes.pop()
+        self._reset_lane(lane)
+        stream = OnlineStream(self, lane)
+        self._streams[lane] = stream
+        return stream
+
+    CreateOnlineStream = create_online_stream
+    create_stream = create_online_stream
+
+    def dispose_stream(self, stream: OnlineStream) -> None:
+        if stream.lane in self._streams:
+            del self._streams[stream.lane]
+            self._free_lanes.append(stream.lane)
+            stream.lane = -1
+
+    def get_result(self, stream: OnlineStream) -> OnlineRecognizerResult:
+        return self.get_results([stream])[0]
+
+    def get_results(self, streams: list[OnlineStream]) -> list[OnlineRecognizerResult]:
+        """Advance every ready stream by one chunk (streams without a full
+        window are skipped this round, as in the reference), then return
+        current partial results."""
+        active = [s for s in streams if s._ready()]
+        if active:
+            windows = np.zeros((self.max_lanes, self.window_samples), np.float32)
+            mask = np.zeros((self.max_lanes,), bool)
+            for s in active:
+                windows[s.lane] = s._take_window()
+                mask[s.lane] = True
+            self._enc_state, self._dec_state, self._frame_count = self._step_fn(
+                self.bundle.params,
+                self._enc_state,
+                self._dec_state,
+                self._frame_count,
+                jnp.asarray(windows),
+                jnp.asarray(mask),
+            )
+        # ONE host transfer for all lanes (tunnel round-trips dominate
+        # streaming latency; per-stream indexed reads cost ~3 RTTs each)
+        tokens, stamps, counts = jax.device_get(
+            (self._dec_state.tokens, self._dec_state.timestamps, self._dec_state.count)
+        )
+        return [self._partial_result(s, tokens, stamps, counts) for s in streams]
+
+    GetResult = get_result
+    GetResults = get_results
+
+    def decode_to_end(self, stream: OnlineStream) -> OnlineRecognizerResult:
+        """Convenience: drain a finished stream completely."""
+        stream.input_finished()
+        while not stream.is_finished:
+            self.get_results([stream])
+        return self._partial_result(stream)
+
+    # -- internals ----------------------------------------------------------
+
+    def _partial_result(
+        self, stream: OnlineStream, tokens=None, stamps=None, counts=None
+    ) -> OnlineRecognizerResult:
+        if stream.lane < 0:
+            return stream.result or OnlineRecognizerResult("", [], [])
+        if tokens is None:
+            tokens, stamps, counts = jax.device_get(
+                (self._dec_state.tokens, self._dec_state.timestamps, self._dec_state.count)
+            )
+        count = int(counts[stream.lane])
+        toks = np.asarray(tokens[stream.lane, :count]).tolist()
+        stamps = np.asarray(stamps[stream.lane, :count]).tolist()
+        res = OnlineRecognizerResult(
+            text=tokens_to_text(toks, self.bundle.tokens),
+            tokens=[self.bundle.tokens.get(t) for t in toks],
+            timestamps=stamps,
+        )
+        stream.result = res
+        return res
+
+    def _init_dec_state(self):
+        if self.decoding_method == "greedy_search_ctc":
+            return ctc_greedy.init_state(self.max_lanes, self.max_tokens)
+        return rnnt_greedy.init_state(
+            self.bundle.params["decoder"],
+            self.bundle.decoder_cfg,
+            self.bundle.params["joiner"],
+            self.max_lanes,
+            self.max_tokens,
+            self.compute_dtype,
+        )
+
+    def _reset_lane(self, lane: int) -> None:
+        """Zero one lane's device state (fresh stream)."""
+        if self._reset_template is None:
+            enc_t = self.bundle.encoder.init_state(self.bundle.encoder_cfg, 1)
+            dec_t = (
+                ctc_greedy.init_state(1, self.max_tokens)
+                if self.decoding_method == "greedy_search_ctc"
+                else rnnt_greedy.init_state(
+                    self.bundle.params["decoder"],
+                    self.bundle.decoder_cfg,
+                    self.bundle.params["joiner"],
+                    1,
+                    self.max_tokens,
+                    self.compute_dtype,
+                )
+            )
+            self._reset_template = (enc_t, dec_t)
+        enc_t, dec_t = self._reset_template
+        self._enc_state = jax.tree.map(
+            lambda pool, tpl: pool.at[lane].set(tpl[0]), self._enc_state, enc_t
+        )
+        self._dec_state = jax.tree.map(
+            lambda pool, tpl: pool.at[lane].set(tpl[0]), self._dec_state, dec_t
+        )
+        self._frame_count = self._frame_count.at[lane].set(0)
+
+    def _build_step_fn(self):
+        bundle = self.bundle
+        enc_mod = bundle.encoder
+        enc_cfg = bundle.encoder_cfg
+        fcfg = bundle.frontend_cfg
+        compute_dtype = self.compute_dtype
+        feat_window = self._feat_window
+        chunk = self.chunk_frames
+        is_ctc = self.decoding_method == "greedy_search_ctc"
+        dec_cfg = bundle.decoder_cfg
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def step(params, enc_state, dec_state, frame_count, windows, active):
+            feats = fbank_compute(windows, fcfg, feat_window)
+            enc_out, new_enc_state = enc_mod.streaming_step(
+                params["encoder"], enc_cfg, enc_state, feats, compute_dtype
+            )
+            # freeze state for inactive lanes
+            new_enc_state = jax.tree.map(
+                lambda new, old: _where_lane(active, new, old), new_enc_state, enc_state
+            )
+            lens = jnp.where(active, chunk, 0)
+            if is_ctc:
+                lp = ctc_mod.log_probs(params["ctc"], enc_out, compute_dtype)
+                new_dec = ctc_greedy.ctc_frames(dec_state, lp, lens, frame_count)
+            else:
+                enc_proj = joiner_mod.project_encoder(
+                    params["joiner"], enc_out, compute_dtype
+                )
+                new_dec = rnnt_greedy.greedy_frames(
+                    params["decoder"], dec_cfg, params["joiner"], dec_state,
+                    enc_proj, lens, frame_count,
+                    True,  # online also skips <sos/eos>=1 (OnlineRecognizer.cs:181)
+                    compute_dtype,
+                )
+            new_count = frame_count + jnp.where(active, chunk, 0)
+            return new_enc_state, new_dec, new_count
+
+        return step
+
+
+def _where_lane(active, new, old):
+    """Per-lane select — every state leaf is batch-leading (axis 0)."""
+    shape = (active.shape[0],) + (1,) * (new.ndim - 1)
+    return jnp.where(active.reshape(shape), new, old)

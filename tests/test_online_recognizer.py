@@ -1,0 +1,147 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from k2transducerasr_tpu.decode import rnnt_greedy
+from k2transducerasr_tpu.frontend.fbank import FbankExtractor
+from k2transducerasr_tpu.models import joiner as joiner_mod
+from k2transducerasr_tpu.models.conformer import ConformerConfig
+from k2transducerasr_tpu.models.lstm import LstmConfig
+from k2transducerasr_tpu.runtime.bundle import ModelBundle
+from k2transducerasr_tpu.runtime.online import OnlineRecognizer
+
+
+def _pcm(n, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    return (0.3 * np.sin(2 * np.pi * 400 * t) + 0.1 * rng.standard_normal(n)).astype(
+        np.float32
+    )
+
+
+@pytest.fixture(scope="module")
+def lstm_bundle():
+    cfg = LstmConfig(
+        feature_dim=80, d_model=48, rnn_hidden_size=64, num_layers=2, ff_dim=96, chunk_size=4
+    )
+    return ModelBundle.random(
+        "lstm", cfg, vocab_size=32, seed=1, decoder_dim=40, joiner_dim=36
+    )
+
+
+@pytest.fixture(scope="module")
+def conformer_bundle():
+    cfg = ConformerConfig(
+        feature_dim=80, d_model=64, num_layers=2, num_heads=4, ff_dim=96,
+        cnn_kernel=7, causal=True, chunk_size=4, left_context=8,
+    )
+    return ModelBundle.random(
+        "conformer", cfg, vocab_size=32, seed=2, decoder_dim=40, joiner_dim=36
+    )
+
+
+def _offline_tokens(bundle, pcm, k_windows):
+    """Oracle: whole-utterance fbank -> causal encoder -> greedy with the
+    online emission rule (skip sos), truncated to exactly the frames the
+    online path has processed."""
+    enc = bundle.encoder
+    feats, n = FbankExtractor(bundle.frontend_cfg)(pcm)
+    cfg = bundle.encoder_cfg
+    t_raw = cfg.decode_chunk_len * k_windows + 3
+    enc_out, lens = enc.forward(
+        bundle.params["encoder"], cfg, feats[None, :t_raw], jnp.array([t_raw])
+    )
+    toks, ts, cnt = rnnt_greedy.rnnt_greedy_search(
+        bundle.params["decoder"], bundle.decoder_cfg,
+        bundle.params["joiner"], bundle.joiner_cfg,
+        enc_out, lens, extra_skip_sos=True,
+    )
+    return rnnt_greedy.extract_results(toks, ts, cnt)[0]
+
+
+@pytest.mark.parametrize("fixture", ["lstm_bundle", "conformer_bundle"])
+def test_online_matches_offline_oracle(fixture, request):
+    bundle = request.getfixturevalue(fixture)
+    rec = OnlineRecognizer(bundle, compute_dtype=None, max_lanes=4)
+    k = 3
+    n_samples = rec.window_samples + (k - 1) * rec.hop_samples
+    pcm = _pcm(n_samples, seed=5)
+
+    s = rec.create_online_stream()
+    # feed in raggedy chunks like the reference example (800-sample feeds)
+    for i in range(0, len(pcm), 800):
+        s.add_samples(pcm[i : i + 800])
+        rec.get_results([s])  # advances only when a full window is buffered
+    # drive any remaining full windows
+    res = rec.get_results([s])[0]
+
+    want_toks, want_ts = _offline_tokens(bundle, pcm, k)
+    got_toks = [bundle.tokens.id_of(t) for t in res.tokens]
+    assert got_toks == want_toks
+    assert res.timestamps == want_ts
+
+
+def test_two_streams_interleaved(lstm_bundle):
+    """Lanes must be independent: interleaved streams decode exactly like
+    solo streams."""
+    rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=4)
+    win, hop = rec.window_samples, rec.hop_samples
+    n = win + 2 * hop
+    pcm_a, pcm_b = _pcm(n, seed=7), _pcm(n, seed=8)
+
+    # solo runs
+    solo = []
+    for pcm in (pcm_a, pcm_b):
+        r = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=4)
+        s = r.create_online_stream()
+        s.add_samples(pcm)
+        while s._ready():
+            r.get_results([s])
+        solo.append(r.get_results([s])[0].text)
+
+    sa = rec.create_online_stream()
+    sb = rec.create_online_stream()
+    sa.add_samples(pcm_a)
+    sb.add_samples(pcm_b)
+    while sa._ready() or sb._ready():
+        rec.get_results([sa, sb])
+    ra, rb = rec.get_results([sa, sb])
+    assert ra.text == solo[0]
+    assert rb.text == solo[1]
+
+
+def test_lane_reuse_resets_state(lstm_bundle):
+    rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=1)
+    pcm = _pcm(rec.window_samples + rec.hop_samples, seed=9)
+
+    def run():
+        s = rec.create_online_stream()
+        s.add_samples(pcm)
+        while s._ready():
+            rec.get_results([s])
+        out = rec.get_results([s])[0]
+        rec.dispose_stream(s)
+        return out
+
+    first = run()
+    second = run()  # same lane, must decode identically from fresh state
+    assert first.text == second.text
+    assert first.timestamps == second.timestamps
+
+
+def test_lane_exhaustion(lstm_bundle):
+    rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=1)
+    rec.create_online_stream()
+    with pytest.raises(RuntimeError):
+        rec.create_online_stream()
+
+
+def test_input_finished_flushes(lstm_bundle):
+    rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=2)
+    pcm = _pcm(rec.window_samples // 2, seed=10)  # less than one window
+    s = rec.create_online_stream()
+    s.add_samples(pcm)
+    assert not s._ready()
+    res = rec.decode_to_end(s)
+    assert s.is_finished
+    assert isinstance(res.text, str)
