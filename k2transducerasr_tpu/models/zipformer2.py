@@ -1,0 +1,759 @@
+"""Zipformer2 encoder (icefall "zipformer" 2023), offline + streaming.
+
+The reference drives this as opaque ONNX graphs with per-layer streaming
+caches (``OnlineProjOfZipformer2.cs``): ``cached_key_<j> [left,B,H*qd]``,
+``cached_nonlin_attn_<j> [1,B,left,3D/4]``, ``cached_val1/2_<j>
+[left,B,H*vd]``, ``cached_conv1/2_<j> [B,D,k//2]``, plus ``embed_states`` and
+``processed_lens`` (metadata keys: ``OnlineModel.cs:51-94``).  Those cache
+inventories are the structural spec this module implements natively.
+
+Architecture (icefall zipformer.py semantics):
+  * encoder_embed: three 3x3 convs (time stride 2 overall, freq 80 -> 19) ->
+    ConvNeXt block (depthwise 7x7) -> linear -> BiasNorm; raw receptive
+    field 9 frames + 6 causal ConvNeXt frames -> streaming windows overlap
+    19 raw frames (= the reference's ``embed_states`` width).
+  * 6 stacks at downsampling factors (1,2,4,8,4,2) with per-stack dims;
+    SimpleDownsample (learned softmax window weights) / SimpleUpsample
+    (repeat) and a learned per-channel Bypass around each stack.
+  * each layer computes attention WEIGHTS once (query/key head dim 32,
+    pos-head rel-position scores) shared by self_attn1, self_attn2 (separate
+    value/out projections) and a nonlin-attention gate; two chunk-causal
+    depthwise conv modules; three SwooshL feed-forwards; BiasNorm + Bypass.
+  * outputs of all stacks are channel-stitched to max(dims) then
+    downsampled x2 -> final frame rate = raw/4.
+
+Streaming == offline-chunked is exact BY CONSTRUCTION here: the offline
+causal path applies the same per-chunk conv windows (left cache + right
+zero-pad) and chunk-causal attention masks the streaming path uses; the
+test oracle asserts bitwise-level agreement (tests/test_zipformer2.py).
+
+NOTE on weight import: the compact relative positional encoding here follows
+the icefall *shape* (sign-preserving log compression + sin/cos over pos_dim)
+but the exact compression constants may differ from a given export —
+convert/importer.py is the place to pin them against a real model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from k2transducerasr_tpu.ops import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class Zipformer2Config:
+    feature_dim: int = 80
+    num_encoder_layers: tuple = (2, 2, 3, 4, 3, 2)
+    encoder_dims: tuple = (192, 256, 384, 512, 384, 256)
+    downsampling_factors: tuple = (1, 2, 4, 8, 4, 2)
+    num_heads: tuple = (4, 4, 4, 8, 4, 4)
+    feedforward_dims: tuple = (512, 768, 1024, 1536, 1024, 768)
+    cnn_module_kernels: tuple = (31, 31, 15, 15, 15, 31)
+    query_head_dim: int = 32
+    value_head_dim: int = 12
+    pos_head_dim: int = 4
+    pos_dim: int = 48
+    # embed conv channels
+    embed_channels: tuple = (8, 32, 128)
+    causal: bool = False
+    chunk_size: int = 32  # encoder-rate (post-embed) frames per step
+    left_context_frames: int = 128  # encoder-rate frames of attention memory
+
+    @property
+    def num_stacks(self) -> int:
+        return len(self.encoder_dims)
+
+    @property
+    def output_downsampling_factor(self) -> int:
+        return 2
+
+    @property
+    def encoder_out_dim(self) -> int:
+        return max(self.encoder_dims)
+
+    def embed_len(self, t_raw: int) -> int:
+        """Raw frames -> encoder-rate frames through the embed conv stack
+        (receptive field 9, stride 2): t0 = (t_raw - 7) // 2."""
+        return (t_raw - 7) // 2
+
+    def subsampled_len(self, t_raw: int) -> int:
+        """Raw frames -> final output frames (embed then /2)."""
+        t0 = self.embed_len(t_raw)
+        return -(-t0 // self.output_downsampling_factor)
+
+    @property
+    def decode_chunk_len(self) -> int:
+        return 2 * self.chunk_size
+
+    @property
+    def embed_left_pad(self) -> int:
+        """Zero FEATURE frames implicitly preceding the stream: the causal
+        ConvNeXt needs 6 stage frames = 12 raw frames of left context, kept
+        as an embed feature cache in the streaming state (the analogue of
+        the reference's ``embed_states``)."""
+        return 12
+
+    @property
+    def chunk_input_len(self) -> int:
+        """Fresh raw feature frames per streaming window: 2*chunk + 7 (conv
+        stack receptive field 9 minus stride 2); the 12-frame embed cache in
+        the state supplies the rest of the receptive field."""
+        return 2 * self.chunk_size + 7
+
+    def stack_chunk(self, i: int) -> int:
+        return self.chunk_size // self.downsampling_factors[i]
+
+    def stack_left(self, i: int) -> int:
+        return max(1, self.left_context_frames // self.downsampling_factors[i])
+
+
+Config = Zipformer2Config
+
+
+def output_dim(cfg: Zipformer2Config) -> int:
+    return cfg.encoder_out_dim
+
+
+# ---------------------------------------------------------------------------
+# Embed (Conv2dSubsampling + ConvNeXt)
+# ---------------------------------------------------------------------------
+
+
+def _init_embed(key, cfg: Zipformer2Config):
+    c1, c2, c3 = cfg.embed_channels
+    ks = jax.random.split(key, 6)
+    # freq path: pad1+conv3 keeps F; conv2 s=2: (F-3)//2+1; conv3 s=2 again
+    f2 = (cfg.feature_dim - 3) // 2 + 1
+    freq_out = (f2 - 3) // 2 + 1  # 80 -> 39 -> 19
+    return {
+        "conv1": L.init_conv2d(ks[0], 1, c1, (3, 3)),
+        "conv2": L.init_conv2d(ks[1], c1, c2, (3, 3)),
+        "conv3": L.init_conv2d(ks[2], c2, c3, (3, 3)),
+        "convnext_dw": L.init_conv2d(ks[3], c3, c3, (7, 7)),  # depthwise via groups trick below
+        "convnext_pw1": L.init_linear(ks[4], c3, 2 * c3),
+        "convnext_pw2": L.init_linear(jax.random.fold_in(ks[4], 1), 2 * c3, c3),
+        "out": L.init_linear(ks[5], c3 * freq_out, cfg.encoder_dims[0]),
+        "out_norm": L.init_biasnorm(cfg.encoder_dims[0]),
+    }
+
+
+def _embed_forward(p, cfg: Zipformer2Config, x, compute_dtype=None, prepadded=False, x_lens=None):
+    """x: [B, T, F] -> [B, (T-7)//2, dims[0]].
+
+    Time layout: conv1 (VALID, s=1): T-2; conv2 (VALID, s=2): (T-5)//2+1;
+    conv3 (VALID, s=1): -2 => total (T-7)//2, receptive field 9, stride 2.
+    Freq (pad 1 on conv1): 80 -> 80 -> 39 -> 19.
+
+    Causal mode: the sequence is treated as preceded by ``embed_left_pad``
+    zero FEATURE frames (so chunked streaming with a zero-initialized embed
+    cache is exactly reproducible); the ConvNeXt depthwise conv then runs
+    VALID in time, consuming those 6 extra stage frames.  ``prepadded``:
+    the caller (streaming step) already supplied the left context.
+    """
+    if cfg.causal and not prepadded:
+        x = jnp.pad(x, ((0, 0), (cfg.embed_left_pad, 0), (0, 0)))
+    h = x[..., None]  # [B, T, F, 1]
+    h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    h = L.swoosh_r(L.apply_conv2d(p["conv1"], h, strides=(1, 1), compute_dtype=compute_dtype))
+    h = L.swoosh_r(L.apply_conv2d(p["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
+    h = L.swoosh_r(L.apply_conv2d(p["conv3"], h, strides=(1, 2), compute_dtype=compute_dtype))
+    # h: [B, T0(+6 if causal), 19, c3]
+    if x_lens is not None:
+        # zero stage frames derived from padding so they cannot bleed into
+        # valid frames through the ConvNeXt receptive field
+        stage_valid = (x_lens - 7) // 2 + (6 if cfg.causal else 0)
+        mask = L.length_mask(jnp.maximum(stage_valid, 0), h.shape[1])
+        h = jnp.where(mask[:, :, None, None], h, 0.0)
+    # ConvNeXt: depthwise 7x7, pw -> SwooshL -> pw, residual
+    residual = h if not cfg.causal else h[:, 6:]
+    pad_t = (0, 0) if cfg.causal else (3, 3)
+    hh = jnp.pad(h, ((0, 0), pad_t, (3, 3), (0, 0)))
+    w = p["convnext_dw"]["w"]  # [7, 7, c3, c3] — applied depthwise (diagonal)
+    dw = _depthwise2d(hh, w, p["convnext_dw"].get("b"), compute_dtype)
+    hh = L.apply_linear(p["convnext_pw1"], dw, compute_dtype)
+    hh = L.swoosh_l(hh)
+    hh = L.apply_linear(p["convnext_pw2"], hh, compute_dtype)
+    h = residual + hh
+    b, t0, f, c = h.shape
+    h = h.reshape(b, t0, f * c)
+    h = L.apply_linear(p["out"], h, compute_dtype)
+    return L.apply_biasnorm(p["out_norm"], h)
+
+
+def _depthwise2d(x, w, b, compute_dtype=None):
+    """Depthwise 7x7 conv: x [B, T, F, C], w [7, 7, C, C] (only the
+    per-channel diagonal is used — initialized dense for importer layout,
+    applied depthwise)."""
+    c = x.shape[-1]
+    dw = jnp.einsum("hwcc->hwc", w)[:, :, None, :]  # HWIO [7,7,1,C] diagonal
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        dw = dw.astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        x,
+        dw,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        preferred_element_type=jnp.float32,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Compact relative positional encoding
+# ---------------------------------------------------------------------------
+
+
+def _compact_rel_pos(t_q: int, s_kv: int, pos_dim: int):
+    """[R, pos_dim] embedding of relative positions r in [-(t_q-1), s_kv-1]
+    (rho = r + t_q - 1), using sign-preserving log compression then sin/cos."""
+    r = jnp.arange(-(t_q - 1), s_kv, dtype=jnp.float32)
+    comp = math.sqrt(pos_dim)
+    x = comp * jnp.sign(r) * (jnp.log(jnp.abs(r) + comp) - math.log(comp))
+    freqs = jnp.exp(
+        jnp.arange(0, pos_dim, 2, dtype=jnp.float32) * (-math.log(1000.0) / pos_dim)
+    )
+    ang = x[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)  # [R, pos_dim]
+
+
+# ---------------------------------------------------------------------------
+# Layer sub-modules
+# ---------------------------------------------------------------------------
+
+
+def _init_ff(key, dim, ff):
+    k1, k2 = jax.random.split(key)
+    return {"w1": L.init_linear(k1, dim, ff), "w2": L.init_linear(k2, ff, dim)}
+
+
+def _apply_ff(p, x, compute_dtype):
+    return L.apply_linear(p["w2"], L.swoosh_l(L.apply_linear(p["w1"], x, compute_dtype)), compute_dtype)
+
+
+def _init_attn_weights(key, dim, heads, qd, pd, pos_dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_proj": L.init_linear(k1, dim, heads * (2 * qd + pd)),
+        "pos_proj": L.init_linear(k2, pos_dim, heads * pd, bias=False),
+    }
+
+
+def _init_self_attn(key, dim, heads, vd):
+    k1, k2 = jax.random.split(key)
+    return {
+        "v": L.init_linear(k1, dim, heads * vd),
+        "out": L.init_linear(k2, heads * vd, dim),
+    }
+
+
+def _init_nonlin_attn(key, dim):
+    hidden = 3 * dim // 4
+    k1, k2 = jax.random.split(key)
+    return {
+        "in_proj": L.init_linear(k1, dim, 3 * hidden),
+        "out": L.init_linear(k2, hidden, dim),
+    }
+
+
+def _init_conv_mod(key, dim, kernel):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "in_proj": L.init_linear(k1, dim, 2 * dim),
+        "dw": L.init_conv1d(k2, dim, dim, kernel=kernel, groups=dim),
+        "out": L.init_linear(k3, dim, dim),
+    }
+
+
+def _init_layer(key, cfg: Zipformer2Config, si: int):
+    dim = cfg.encoder_dims[si]
+    heads = cfg.num_heads[si]
+    ff = cfg.feedforward_dims[si]
+    kernel = cfg.cnn_module_kernels[si]
+    ks = jax.random.split(key, 10)
+    return {
+        "attn_weights": _init_attn_weights(
+            ks[0], dim, heads, cfg.query_head_dim, cfg.pos_head_dim, cfg.pos_dim
+        ),
+        "self_attn1": _init_self_attn(ks[1], dim, heads, cfg.value_head_dim),
+        "self_attn2": _init_self_attn(ks[2], dim, heads, cfg.value_head_dim),
+        "nonlin_attn": _init_nonlin_attn(ks[3], dim),
+        "conv1": _init_conv_mod(ks[4], dim, kernel),
+        "conv2": _init_conv_mod(ks[5], dim, kernel),
+        "ff1": _init_ff(ks[6], dim, ff),
+        "ff2": _init_ff(ks[7], dim, ff),
+        "ff3": _init_ff(ks[8], dim, ff),
+        "norm": L.init_biasnorm(dim),
+        "bypass": jnp.full((dim,), 0.5),
+        "bypass_mid": jnp.full((dim,), 0.5),
+    }
+
+
+def _init_stack(key, cfg: Zipformer2Config, si: int):
+    n = cfg.num_encoder_layers[si]
+    ks = jax.random.split(key, n + 2)
+    p = {
+        "layers": [_init_layer(ks[j], cfg, si) for j in range(n)],
+        "bypass_out": jnp.full((cfg.encoder_dims[si],), 0.5),
+    }
+    ds = cfg.downsampling_factors[si]
+    if ds > 1:
+        p["downsample_weights"] = jnp.zeros((ds,))
+    return p
+
+
+def init_params(key, cfg: Zipformer2Config):
+    ks = jax.random.split(key, cfg.num_stacks + 2)
+    return {
+        "embed": _init_embed(ks[0], cfg),
+        "stacks": [_init_stack(ks[1 + i], cfg, i) for i in range(cfg.num_stacks)],
+        "downsample_output_weights": jnp.zeros((cfg.output_downsampling_factor,)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype):
+    """Compute shared attention weights.
+
+    x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (chunk keys are
+    produced here by the caller via the same in_proj; cached keys come from
+    the streaming cache).  Returns probs [B, H, T, S].
+    """
+    heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
+    b, t, _ = x_q.shape
+    s = k_src.shape[1]
+    proj = L.apply_linear(p["in_proj"], x_q, compute_dtype)  # [B,T,H*(2qd+pd)]
+    proj = proj.reshape(b, t, heads, 2 * qd + pd)
+    q = proj[..., :qd]
+    pos_q = proj[..., 2 * qd :]  # [B,T,H,pd]
+    k = k_src.reshape(b, s, heads, qd)
+
+    scores = jnp.einsum(
+        "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
+    )
+    pe = _compact_rel_pos(t, s, cfg.pos_dim)
+    pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
+    pos_full = jnp.einsum(
+        "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
+    )
+    off = s - t
+    idx = (jnp.arange(t)[:, None] + off - jnp.arange(s)[None, :]) + (t - 1)
+    pos_scores = jnp.take_along_axis(
+        pos_full, jnp.broadcast_to(idx, (b, heads, t, s)), axis=-1
+    )
+    scores = scores + pos_scores
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def _project_keys(p, cfg: Zipformer2Config, si, x, compute_dtype):
+    """Key projection only (for building/caching the kv-side key sequence)."""
+    heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
+    proj = L.apply_linear(p["in_proj"], x, compute_dtype)
+    proj = proj.reshape(*x.shape[:-1], heads, 2 * qd + pd)
+    return proj[..., qd : 2 * qd].reshape(*x.shape[:-1], heads * qd)
+
+
+def _self_attn(p, cfg, si, v_src, attn_w, compute_dtype):
+    """v_src: [B, S, H*vd] pre-projected values; attn_w: [B,H,T,S]."""
+    heads, vd = cfg.num_heads[si], cfg.value_head_dim
+    b, s, _ = v_src.shape
+    v = v_src.reshape(b, s, heads, vd)
+    ctx = jnp.einsum(
+        "bhts,bshd->bthd", attn_w.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    t = ctx.shape[1]
+    return L.apply_linear(p["out"], ctx.reshape(b, t, heads * vd), compute_dtype)
+
+
+def _nonlin_attention(p, dim, x, attn_w_head0, v_cached, compute_dtype):
+    """Attention-gated nonlinearity.  x: [B, T, D] (target side);
+    v_cached: [B, S-T, hidden] cached source values or None.
+    attn_w_head0: [B, T, S].  Returns (out [B,T,D], v_chunk [B,T,hidden])."""
+    hidden = 3 * dim // 4
+    proj = L.apply_linear(p["in_proj"], x, compute_dtype)
+    s_gate, xv, y = jnp.split(proj, [hidden, 2 * hidden], axis=-1)
+    v_chunk = xv * jnp.tanh(s_gate)  # source-side gated value
+    v_src = v_chunk if v_cached is None else jnp.concatenate(
+        [v_cached.astype(v_chunk.dtype), v_chunk], axis=1
+    )
+    attended = jnp.einsum(
+        "bts,bsh->bth", attn_w_head0.astype(v_src.dtype), v_src,
+        preferred_element_type=jnp.float32,
+    )
+    out = L.apply_linear(p["out"], attended * y, compute_dtype)
+    return out, v_chunk
+
+
+# ---------------------------------------------------------------------------
+# Conv module (chunk-causal)
+# ---------------------------------------------------------------------------
+
+
+def _conv_module(p, dim, kernel, x, cache, chunk, compute_dtype, valid=None):
+    """zipformer2 ConvolutionModule with chunk-causal depthwise conv.
+
+    Offline-causal (cache is None, chunk>0): T is split into chunks; each
+    chunk sees ``kernel//2`` frames of left context from the previous chunk
+    and zero right-padding — EXACTLY what the streaming step does, so the
+    two paths agree bit-for-bit.  Offline non-causal (chunk=0): centered
+    SAME conv.  Streaming (cache [B, k//2, D]): one chunk.
+    ``valid``: padded positions zeroed pre-conv so they can't bleed through
+    the receptive field.  Returns (out [B,T,D], new_cache or None).
+    """
+    half = kernel // 2
+    h = L.apply_linear(p["in_proj"], x, compute_dtype)
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)
+
+    if valid is not None:
+        h = jnp.where(valid[:, :, None], h, 0.0)
+
+    if cache is None and chunk == 0:
+        y = L.apply_conv1d(p["dw"], h, groups=dim, padding="SAME", compute_dtype=compute_dtype)
+        new_cache = None
+    elif cache is None:
+        b, t, d = h.shape
+        n = t // chunk
+        hc = h.reshape(b, n, chunk, d)
+        prev_tail = jnp.pad(hc[:, :-1, chunk - half :, :], ((0, 0), (1, 0), (0, 0), (0, 0)))
+        win = jnp.concatenate(
+            [prev_tail, hc, jnp.zeros((b, n, half, d), h.dtype)], axis=2
+        )  # [B, n, half+chunk+half, D]
+        y = L.apply_conv1d(
+            p["dw"], win.reshape(b * n, chunk + 2 * half, d), groups=dim,
+            padding="VALID", compute_dtype=compute_dtype,
+        ).reshape(b, n, chunk, d).reshape(b, t, d)
+        new_cache = None
+    else:
+        b, t, d = h.shape
+        win = jnp.concatenate(
+            [cache.astype(h.dtype), h, jnp.zeros((b, half, d), h.dtype)], axis=1
+        )
+        y = L.apply_conv1d(p["dw"], win, groups=dim, padding="VALID", compute_dtype=compute_dtype)
+        new_cache = h[:, -half:, :]
+    y = L.swoosh_r(y)
+    return L.apply_linear(p["out"], y, compute_dtype), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Bypass / downsample / channel stitch
+# ---------------------------------------------------------------------------
+
+
+def _bypass(scale, x_orig, x):
+    return x_orig + scale * (x - x_orig)
+
+
+def _simple_downsample(weights, x, ds: int):
+    """[B, T, D] -> [B, ceil(T/ds), D]: learned softmax weights over each
+    window; partial tail window zero-padded.  (icefall repeats the last
+    frame instead — zero-padding keeps padded batches exactly consistent
+    with unpadded ones and with the streaming path; affects only the final
+    partial group.)"""
+    b, t, d = x.shape
+    t_out = -(-t // ds)
+    pad = t_out * ds - t
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    w = jax.nn.softmax(weights)
+    return jnp.einsum("bkwd,w->bkd", x.reshape(b, t_out, ds, d), w.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _simple_upsample(x, ds: int, t_target: int):
+    return jnp.repeat(x, ds, axis=1)[:, :t_target]
+
+
+def _convert_channels(x, dim: int):
+    cur = x.shape[-1]
+    if cur == dim:
+        return x
+    if cur > dim:
+        return x[..., :dim]
+    return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, dim - cur),))
+
+
+# ---------------------------------------------------------------------------
+# Layer forward (shared by offline & streaming)
+# ---------------------------------------------------------------------------
+
+
+def _layer_forward(
+    p, cfg: Zipformer2Config, si: int, x, mask, chunk: int, caches, compute_dtype,
+    valid=None,
+):
+    """One Zipformer2 layer.
+
+    caches: None (offline) or dict with keys key/val1/val2/nonlin/conv1/conv2
+    ([B, left, ...] / [B, k//2, D]).  Returns (out, new_caches or None).
+    ``chunk``: conv chunk size (0 = non-causal offline).
+    """
+    dim = cfg.encoder_dims[si]
+    kernel = cfg.cnn_module_kernels[si]
+    x_orig = x
+    streaming = caches is not None
+
+    # shared attention weights from the ORIGINAL layer input
+    k_chunk = _project_keys(p["attn_weights"], cfg, si, x, compute_dtype)
+    if streaming:
+        k_src = jnp.concatenate([caches["key"].astype(k_chunk.dtype), k_chunk], axis=1)
+        new_key = k_src[:, -caches["key"].shape[1] :, :]
+    else:
+        k_src = k_chunk
+        new_key = None
+    attn_w = _attn_weights(p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype)
+
+    x = x + _apply_ff(p["ff1"], x, compute_dtype)
+
+    na, nonlin_chunk = _nonlin_attention(
+        p["nonlin_attn"], dim, x, attn_w[:, 0],
+        caches["nonlin"] if streaming else None, compute_dtype,
+    )
+    x = x + na
+    if streaming:
+        nonlin_full = jnp.concatenate(
+            [caches["nonlin"].astype(nonlin_chunk.dtype), nonlin_chunk], axis=1
+        )
+        new_nonlin = nonlin_full[:, -caches["nonlin"].shape[1] :, :]
+
+    v1_chunk = L.apply_linear(p["self_attn1"]["v"], x, compute_dtype)
+    if streaming:
+        v1_src = jnp.concatenate([caches["val1"].astype(v1_chunk.dtype), v1_chunk], axis=1)
+        new_val1 = v1_src[:, -caches["val1"].shape[1] :, :]
+    else:
+        v1_src = v1_chunk
+        new_val1 = None
+    x = x + _self_attn(p["self_attn1"], cfg, si, v1_src, attn_w, compute_dtype)
+
+    c1, new_conv1 = _conv_module(
+        p["conv1"], dim, kernel, x,
+        caches["conv1"] if streaming else None, chunk, compute_dtype, valid,
+    )
+    x = x + c1
+    x = _bypass(p["bypass_mid"], x_orig, x)
+    x = x + _apply_ff(p["ff2"], x, compute_dtype)
+
+    v2_chunk = L.apply_linear(p["self_attn2"]["v"], x, compute_dtype)
+    if streaming:
+        v2_src = jnp.concatenate([caches["val2"].astype(v2_chunk.dtype), v2_chunk], axis=1)
+        new_val2 = v2_src[:, -caches["val2"].shape[1] :, :]
+    else:
+        v2_src = v2_chunk
+        new_val2 = None
+    x = x + _self_attn(p["self_attn2"], cfg, si, v2_src, attn_w, compute_dtype)
+
+    c2, new_conv2 = _conv_module(
+        p["conv2"], dim, kernel, x,
+        caches["conv2"] if streaming else None, chunk, compute_dtype, valid,
+    )
+    x = x + c2
+    x = x + _apply_ff(p["ff3"], x, compute_dtype)
+    x = L.apply_biasnorm(p["norm"], x)
+    x = _bypass(p["bypass"], x_orig, x)
+
+    if streaming:
+        # IMPORTANT: value caches must hold the same *stage* tensors the
+        # offline pass would produce; nonlin cache holds the gated source
+        # values.  All were computed above at the matching stages.
+        new_caches = {
+            "key": new_key,
+            "nonlin": new_nonlin,
+            "val1": new_val1,
+            "val2": new_val2,
+            "conv1": new_conv1,
+            "conv2": new_conv2,
+        }
+        return x, new_caches
+    return x, None
+
+
+# ---------------------------------------------------------------------------
+# Offline forward
+# ---------------------------------------------------------------------------
+
+
+def _chunk_causal_mask(t: int, chunk: int, left: int):
+    q = jnp.arange(t)[:, None]
+    s = jnp.arange(t)[None, :]
+    cs = (q // chunk) * chunk
+    return (s <= cs + chunk - 1) & (s >= cs - left)
+
+
+def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
+    """One (possibly downsampled) stack, offline."""
+    ds = cfg.downsampling_factors[si]
+    t_full = x.shape[1]
+    x = _convert_channels(x, cfg.encoder_dims[si])
+    src = x
+    if ds > 1:
+        src = _simple_downsample(p["downsample_weights"], src, ds)
+        # a downsampled frame is valid if its first source frame is valid
+        v = valid[:, ::ds][:, : src.shape[1]] if valid is not None else None
+    else:
+        v = valid
+    t = src.shape[1]
+    mask = None
+    if v is not None:
+        mask = v[:, None, :] & v[:, :, None]
+    if cfg.causal:
+        cmask = _chunk_causal_mask(t, max(1, cfg.stack_chunk(si)), cfg.stack_left(si))[None]
+        mask = cmask if mask is None else (mask & cmask)
+    chunk = cfg.stack_chunk(si) if cfg.causal else 0
+    for layer in p["layers"]:
+        src, _ = _layer_forward(layer, cfg, si, src, mask, chunk, None, compute_dtype, v)
+        if v is not None:
+            src = jnp.where(v[:, :, None], src, 0.0)
+    if ds > 1:
+        src = _simple_upsample(src, ds, t_full)
+    return _bypass(p["bypass_out"], x, src)
+
+
+def forward(params, cfg: Zipformer2Config, x, x_lens, compute_dtype=None):
+    """x: [B, T, F] raw fbank -> (enc_out [B, T', max_dim], out_lens [B])."""
+    h = _embed_forward(params["embed"], cfg, x, compute_dtype, x_lens=x_lens)
+    lens0 = jnp.maximum((x_lens - 7) // 2, 0)
+    if cfg.causal:
+        # chunked-causal masks and conv windows need T0 % chunk == 0
+        t0 = h.shape[1]
+        t0_pad = -(-t0 // cfg.chunk_size) * cfg.chunk_size
+        if t0_pad != t0:
+            h = jnp.pad(h, ((0, 0), (0, t0_pad - t0), (0, 0)))
+    t0 = h.shape[1]
+    valid = L.length_mask(lens0, t0)
+    h = jnp.where(valid[:, :, None], h, 0.0)
+
+    outputs = []
+    for si in range(cfg.num_stacks):
+        h = _stack_forward(params["stacks"][si], cfg, si, h, valid, compute_dtype)
+        h = jnp.where(valid[:, :, None], h, 0.0)
+        outputs.append(h)
+
+    # channel stitch to max dim (icefall _get_full_dim_output)
+    dims = cfg.encoder_dims
+    pieces = [outputs[-1]]
+    cur = dims[-1]
+    for i in range(cfg.num_stacks - 2, -1, -1):
+        if dims[i] > cur:
+            pieces.append(outputs[i][..., cur : dims[i]])
+            cur = dims[i]
+    full = jnp.concatenate(pieces, axis=-1)
+
+    out = _simple_downsample(
+        params["downsample_output_weights"], full, cfg.output_downsampling_factor
+    )
+    out_lens = -(-lens0 // cfg.output_downsampling_factor)
+    ovalid = L.length_mask(out_lens, out.shape[1])
+    return jnp.where(ovalid[:, :, None], out, 0.0), out_lens
+
+
+# ---------------------------------------------------------------------------
+# Streaming
+# ---------------------------------------------------------------------------
+
+
+def init_state(cfg: Zipformer2Config, batch: int):
+    """Batch-leading state pytree.  Per stack-layer caches mirror the
+    reference inventory (OnlineProjOfZipformer2.cs:53-111): key/val1/val2/
+    nonlin at [B, left_i, ...], conv at [B, k//2, D]; plus a processed-frame
+    counter.  (No embed state: the runtime feeds overlapping 2*chunk+19
+    windows, subsuming the reference's embed_states.)"""
+    layers = []
+    for si in range(cfg.num_stacks):
+        dim = cfg.encoder_dims[si]
+        heads = cfg.num_heads[si]
+        left = cfg.stack_left(si)
+        half = cfg.cnn_module_kernels[si] // 2
+        hidden = 3 * dim // 4
+        for _ in range(cfg.num_encoder_layers[si]):
+            layers.append(
+                {
+                    "key": jnp.zeros((batch, left, heads * cfg.query_head_dim)),
+                    "val1": jnp.zeros((batch, left, heads * cfg.value_head_dim)),
+                    "val2": jnp.zeros((batch, left, heads * cfg.value_head_dim)),
+                    "nonlin": jnp.zeros((batch, left, hidden)),
+                    "conv1": jnp.zeros((batch, half, dim)),
+                    "conv2": jnp.zeros((batch, half, dim)),
+                }
+            )
+    return {
+        "layers": layers,
+        "embed_feats": jnp.zeros((batch, cfg.embed_left_pad, cfg.feature_dim)),
+        "processed": jnp.zeros((batch,), jnp.int32),
+    }
+
+
+def streaming_step(params, cfg: Zipformer2Config, state, x_chunk, compute_dtype=None):
+    """x_chunk: [B, 2*chunk+7, F] fresh raw features -> (enc_out
+    [B, chunk/2, D], new_state).  Requires cfg.causal=True.
+
+    The 12-frame embed feature cache in the state supplies the left part of
+    the embed receptive field (zeros at stream start == the offline causal
+    path's zero feature pre-pad), so streaming == offline exactly.
+    """
+    b = x_chunk.shape[0]
+    c = cfg.chunk_size
+    full_in = jnp.concatenate([state["embed_feats"].astype(x_chunk.dtype), x_chunk], axis=1)
+    new_embed_feats = full_in[:, -cfg.embed_left_pad :, :]
+    h = _embed_forward(params["embed"], cfg, full_in, compute_dtype, prepadded=True)
+    h = h[:, -c:, :]
+    processed = state["processed"]
+
+    new_layers = []
+    outputs = []
+    li = 0
+    for si in range(cfg.num_stacks):
+        ds = cfg.downsampling_factors[si]
+        left = cfg.stack_left(si)
+        cs = cfg.stack_chunk(si)
+        h = _convert_channels(h, cfg.encoder_dims[si])
+        src = h
+        if ds > 1:
+            src = _simple_downsample(params["stacks"][si]["downsample_weights"], src, ds)
+        # kv mask over [cache | chunk]: cache slot j valid iff enough history
+        done = jnp.minimum(processed // ds, left)
+        cache_pos = jnp.arange(left)[None, :]
+        cache_valid = cache_pos >= (left - done)[:, None]
+        kv_valid = jnp.concatenate([cache_valid, jnp.ones((b, cs), bool)], axis=1)
+        mask = jnp.broadcast_to(kv_valid[:, None, :], (b, cs, left + cs))
+        for layer in params["stacks"][si]["layers"]:
+            src, new_cache = _layer_forward(
+                layer, cfg, si, src, mask, cs, state["layers"][li], compute_dtype
+            )
+            new_layers.append(new_cache)
+            li += 1
+        if ds > 1:
+            src = _simple_upsample(src, ds, c)
+        h = _bypass(params["stacks"][si]["bypass_out"], h, src)
+        outputs.append(h)
+
+    dims = cfg.encoder_dims
+    pieces = [outputs[-1]]
+    cur = dims[-1]
+    for i in range(cfg.num_stacks - 2, -1, -1):
+        if dims[i] > cur:
+            pieces.append(outputs[i][..., cur : dims[i]])
+            cur = dims[i]
+    full = jnp.concatenate(pieces, axis=-1)
+    out = _simple_downsample(
+        params["downsample_output_weights"], full, cfg.output_downsampling_factor
+    )
+    new_state = {
+        "layers": new_layers,
+        "embed_feats": new_embed_feats,
+        "processed": processed + c,
+    }
+    return out, new_state
