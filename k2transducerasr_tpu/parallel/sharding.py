@@ -1,0 +1,82 @@
+"""Device-mesh sharding for multi-chip inference.
+
+The reference has NO distribution of any kind (SURVEY.md §2.3) — its only
+parallelism is the ORT CPU threadpool.  Here scaling is expressed the
+idiomatic JAX way: a ``Mesh`` with ``data`` (utterance batches, DP) and
+``model`` (tensor-parallel weight shards, TP for the xlarge encoders that
+exceed one chip's HBM — BASELINE config #5) axes; params and activations get
+``NamedSharding`` annotations and XLA/GSPMD inserts the collectives over
+ICI.
+
+Generic TP rule: every >=2-D parameter whose largest axis is divisible by
+the model-axis size is sharded over that axis; everything else is
+replicated.  GSPMD keeps semantics identical for ANY sharding, so this is
+both correct and a solid bandwidth-balanced default; per-family overrides
+can refine it later.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int, n_model: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data * n_model > len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_model} needs {n_data * n_model} devices, "
+            f"have {len(devices)}"
+        )
+    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def auto_mesh(n_devices: int | None = None, model_parallel: int = 1) -> Mesh:
+    n = n_devices if n_devices is not None else len(jax.devices())
+    model = model_parallel
+    while n % model:
+        model //= 2
+    return make_mesh(n // model, model)
+
+
+def param_spec(path_leaf_shape, n_model: int) -> P:
+    """Largest-divisible-axis TP rule for one parameter."""
+    shape = path_leaf_shape
+    if len(shape) < 2 or n_model <= 1:
+        return P()
+    order = sorted(range(len(shape)), key=lambda a: -shape[a])
+    for axis in order:
+        if shape[axis] >= 2 * n_model and shape[axis] % n_model == 0:
+            spec = [None] * len(shape)
+            spec[axis] = "model"
+            return P(*spec)
+    return P()
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings for a param pytree under the TP rule."""
+    n_model = mesh.shape["model"]
+
+    def one(leaf):
+        return NamedSharding(mesh, param_spec(np.shape(leaf), n_model))
+
+    return jax.tree.map(one, params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a param pytree onto the mesh with TP shardings."""
+    return jax.tree.map(
+        lambda leaf, s: jax.device_put(leaf, s), params, param_shardings(params, mesh)
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data parallelism for activations/inputs."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
