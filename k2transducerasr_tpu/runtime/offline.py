@@ -80,16 +80,22 @@ class OfflineRecognizer:
         compute_dtype=jnp.bfloat16,
         max_tokens: int = 1024,
         frame_bucket: int = 256,
+        max_active_paths: int = 4,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"  # forced, as in reference
-        if decoding_method not in ("greedy_search", "greedy_search_ctc"):
+        if decoding_method not in (
+            "greedy_search",
+            "greedy_search_ctc",
+            "modified_beam_search",
+        ):
             raise ValueError(f"unsupported decoding method {decoding_method!r}")
         self.bundle = bundle
         self.decoding_method = decoding_method
         self.compute_dtype = compute_dtype
         self.max_tokens = max_tokens
         self.frame_bucket = frame_bucket
+        self.max_active_paths = max_active_paths
         self._extractor = FbankExtractor(bundle.frontend_cfg)
         self._decode_fn = self._build_decode_fn()
 
@@ -164,6 +170,24 @@ class OfflineRecognizer:
             return decode
 
         dec_cfg = bundle.decoder_cfg
+
+        if self.decoding_method == "modified_beam_search":
+            from k2transducerasr_tpu.decode import rnnt_beam
+
+            paths = self.max_active_paths
+
+            @functools.partial(jax.jit)
+            def decode(params, feats, feat_lens):
+                enc_out, enc_lens = enc_mod.forward(
+                    params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
+                )
+                return rnnt_beam.rnnt_beam_search(
+                    params["decoder"], dec_cfg, params["joiner"], enc_out, enc_lens,
+                    num_active_paths=paths, max_tokens=max_tokens,
+                    compute_dtype=compute_dtype,
+                )
+
+            return decode
 
         @functools.partial(jax.jit)
         def decode(params, feats, feat_lens):

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from k2transducerasr_tpu.decode import ctc_greedy, rnnt_greedy
+from k2transducerasr_tpu.decode import ctc_greedy, rnnt_beam, rnnt_greedy
 from k2transducerasr_tpu.frontend.fbank import fbank_compute
 from k2transducerasr_tpu.models import ctc as ctc_mod
 from k2transducerasr_tpu.models import joiner as joiner_mod
@@ -115,11 +115,17 @@ class OnlineRecognizer:
         compute_dtype=jnp.bfloat16,
         max_lanes: int = 8,
         max_tokens: int = 512,
+        max_active_paths: int = 4,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"
-        if decoding_method not in ("greedy_search", "greedy_search_ctc"):
+        if decoding_method not in (
+            "greedy_search",
+            "greedy_search_ctc",
+            "modified_beam_search",
+        ):
             raise ValueError(f"unsupported decoding method {decoding_method!r}")
+        self.max_active_paths = max_active_paths
         self.bundle = bundle
         self.decoding_method = decoding_method
         self.compute_dtype = compute_dtype
@@ -190,9 +196,7 @@ class OnlineRecognizer:
             )
         # ONE host transfer for all lanes (tunnel round-trips dominate
         # streaming latency; per-stream indexed reads cost ~3 RTTs each)
-        tokens, stamps, counts = jax.device_get(
-            (self._dec_state.tokens, self._dec_state.timestamps, self._dec_state.count)
-        )
+        tokens, stamps, counts = jax.device_get(self._result_buffers())
         return [self._partial_result(s, tokens, stamps, counts) for s in streams]
 
     GetResult = get_result
@@ -213,9 +217,7 @@ class OnlineRecognizer:
         if stream.lane < 0:
             return stream.result or OnlineRecognizerResult("", [], [])
         if tokens is None:
-            tokens, stamps, counts = jax.device_get(
-                (self._dec_state.tokens, self._dec_state.timestamps, self._dec_state.count)
-            )
+            tokens, stamps, counts = jax.device_get(self._result_buffers())
         count = int(counts[stream.lane])
         toks = np.asarray(tokens[stream.lane, :count]).tolist()
         stamps = np.asarray(stamps[stream.lane, :count]).tolist()
@@ -227,14 +229,36 @@ class OnlineRecognizer:
         stream.result = res
         return res
 
-    def _init_dec_state(self):
+    def _result_buffers(self):
+        """Device-side (tokens [B,U], timestamps, count) for the current
+        decode state (best beam for beam search)."""
+        if self.decoding_method == "modified_beam_search":
+            return rnnt_beam.best_beam(self._dec_state)
+        return (
+            self._dec_state.tokens,
+            self._dec_state.timestamps,
+            self._dec_state.count,
+        )
+
+    def _init_dec_state(self, batch: int | None = None):
+        batch = batch if batch is not None else self.max_lanes
         if self.decoding_method == "greedy_search_ctc":
-            return ctc_greedy.init_state(self.max_lanes, self.max_tokens)
+            return ctc_greedy.init_state(batch, self.max_tokens)
+        if self.decoding_method == "modified_beam_search":
+            return rnnt_beam.init_state(
+                self.bundle.params["decoder"],
+                self.bundle.decoder_cfg,
+                self.bundle.params["joiner"],
+                batch,
+                self.max_active_paths,
+                self.max_tokens,
+                self.compute_dtype,
+            )
         return rnnt_greedy.init_state(
             self.bundle.params["decoder"],
             self.bundle.decoder_cfg,
             self.bundle.params["joiner"],
-            self.max_lanes,
+            batch,
             self.max_tokens,
             self.compute_dtype,
         )
@@ -243,18 +267,7 @@ class OnlineRecognizer:
         """Zero one lane's device state (fresh stream)."""
         if self._reset_template is None:
             enc_t = self.bundle.encoder.init_state(self.bundle.encoder_cfg, 1)
-            dec_t = (
-                ctc_greedy.init_state(1, self.max_tokens)
-                if self.decoding_method == "greedy_search_ctc"
-                else rnnt_greedy.init_state(
-                    self.bundle.params["decoder"],
-                    self.bundle.decoder_cfg,
-                    self.bundle.params["joiner"],
-                    1,
-                    self.max_tokens,
-                    self.compute_dtype,
-                )
-            )
+            dec_t = self._init_dec_state(1)
             self._reset_template = (enc_t, dec_t)
         enc_t, dec_t = self._reset_template
         self._enc_state = jax.tree.map(
@@ -273,8 +286,9 @@ class OnlineRecognizer:
         compute_dtype = self.compute_dtype
         feat_window = self._feat_window
         chunk = self.chunk_frames
-        is_ctc = self.decoding_method == "greedy_search_ctc"
+        method = self.decoding_method
         dec_cfg = bundle.decoder_cfg
+        paths = self.max_active_paths
 
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
         def step(params, enc_state, dec_state, frame_count, windows, active):
@@ -287,9 +301,18 @@ class OnlineRecognizer:
                 lambda new, old: _where_lane(active, new, old), new_enc_state, enc_state
             )
             lens = jnp.where(active, chunk, 0)
-            if is_ctc:
+            if method == "greedy_search_ctc":
                 lp = ctc_mod.log_probs(params["ctc"], enc_out, compute_dtype)
                 new_dec = ctc_greedy.ctc_frames(dec_state, lp, lens, frame_count)
+            elif method == "modified_beam_search":
+                enc_proj = joiner_mod.project_encoder(
+                    params["joiner"], enc_out, compute_dtype
+                )
+                new_dec = rnnt_beam.beam_frames(
+                    params["decoder"], dec_cfg, params["joiner"], dec_state,
+                    enc_proj, lens, frame_count,
+                    True, compute_dtype,
+                )
             else:
                 enc_proj = joiner_mod.project_encoder(
                     params["joiner"], enc_out, compute_dtype

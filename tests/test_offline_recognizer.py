@@ -57,10 +57,9 @@ def test_ctc_model_forces_ctc_decoding(bundle):
     cfg = ConformerConfig(
         feature_dim=80, d_model=64, num_layers=1, num_heads=4, ff_dim=96, cnn_kernel=7
     )
-    # conformer has no registered ctc variant; emulate via zipformer2ctc once
-    # available.  Here: request ctc on a transducer bundle -> ValueError.
+    del cfg
     with pytest.raises(ValueError):
-        OfflineRecognizer(bundle, decoding_method="modified_beam_search")
+        OfflineRecognizer(bundle, decoding_method="fast_beam_search_nbest")
 
 
 def test_bundle_save_load_roundtrip(tmp_path, bundle):
