@@ -117,6 +117,18 @@ def read_wav(path_or_bytes: str | bytes) -> AudioData:
             "(TPU hosts carry no OS codec stack)"
         )
 
+    # native C++ decoder (k2transducerasr_tpu/native) when built; identical
+    # output to the numpy path below (tests/test_native.py)
+    try:
+        from k2transducerasr_tpu import native
+
+        decoded = native.wav_decode(data)
+        if decoded is not None:
+            samples, rate = decoded
+            return AudioData(samples, rate)
+    except Exception:
+        pass
+
     try:
         with wave.open(io.BytesIO(data)) as w:
             n_channels = w.getnchannels()

@@ -74,6 +74,11 @@ def output_dim(cfg: ConformerConfig) -> int:
     return cfg.d_model
 
 
+def output_chunk_len(cfg: ConformerConfig) -> int:
+    """Encoder output frames produced per streaming step."""
+    return cfg.chunk_size
+
+
 # ---------------------------------------------------------------------------
 # Parameter init
 # ---------------------------------------------------------------------------

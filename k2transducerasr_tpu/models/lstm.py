@@ -54,6 +54,10 @@ def output_dim(cfg: LstmConfig) -> int:
     return cfg.d_model
 
 
+def output_chunk_len(cfg: LstmConfig) -> int:
+    return cfg.chunk_size
+
+
 def _init_lstm(key, in_dim: int, hidden: int, proj: int):
     k1, k2, k3 = jax.random.split(key, 3)
     scale = 1.0 / jnp.sqrt(hidden)

@@ -94,6 +94,10 @@ def output_dim(cfg: ZipformerConfig) -> int:
     return cfg.encoder_out_dim
 
 
+def output_chunk_len(cfg: ZipformerConfig) -> int:
+    return cfg.chunk_size
+
+
 def double_swish(x):
     return x * jax.nn.sigmoid(x - 1.0)
 

@@ -118,6 +118,11 @@ def output_dim(cfg: Zipformer2Config) -> int:
     return cfg.encoder_out_dim
 
 
+def output_chunk_len(cfg: Zipformer2Config) -> int:
+    """Output frames per streaming step (final /2 downsample)."""
+    return cfg.chunk_size // cfg.output_downsampling_factor
+
+
 # ---------------------------------------------------------------------------
 # Embed (Conv2dSubsampling + ConvNeXt)
 # ---------------------------------------------------------------------------

@@ -56,13 +56,17 @@ class OnlineRecognizerResult:
 class OnlineStream:
     """Host half of a stream: raw-sample ring buffer + lane handle.  The
     decode state (encoder caches, hyp, token buffers) lives device-side in
-    the recognizer's lane pool."""
+    the recognizer's lane pool.  The sample buffer is the native C++ ring
+    buffer when available (k2transducerasr_tpu/native), else numpy."""
 
     def __init__(self, recognizer: "OnlineRecognizer", lane: int):
         self._rec = recognizer
         self.lane = lane
-        self._buf = np.zeros(0, np.float32)
-        self._consumed = 0  # samples already dropped from the left of _buf
+        from k2transducerasr_tpu import native
+
+        self._rb = native.RingBuffer() if native.available() else None
+        self._buf = np.zeros(0, np.float32)  # numpy fallback
+        self._consumed = 0  # samples already consumed (hops)
         self.finished_input = False
         self.is_finished = False  # fully drained after input_finished
         self.result: OnlineRecognizerResult | None = None
@@ -70,7 +74,7 @@ class OnlineStream:
     def add_samples(self, samples: np.ndarray) -> None:
         if self.finished_input:
             raise RuntimeError("add_samples after input_finished")
-        self._buf = np.concatenate([self._buf, np.asarray(samples, np.float32)])
+        self._push(np.asarray(samples, np.float32))
 
     def input_finished(self) -> None:
         """Declare end of audio; pads zeros so every remaining frame flushes
@@ -81,28 +85,41 @@ class OnlineStream:
         win = self._rec.window_samples
         hop = self._rec.hop_samples
         # pad so that at least one more full window exists past current data
-        n = len(self._buf)
+        n = self._size()
         k = max(0, -(-max(n - win, 0) // hop)) + 1
         need = win + k * hop
         if need > n:
-            self._buf = np.concatenate([self._buf, np.zeros(need - n, np.float32)])
+            self._push(np.zeros(need - n, np.float32))
 
     # C#-style aliases
     AddSamples = add_samples
     InputFinished = input_finished
 
-    # -- internals ----------------------------------------------------------
+    # -- buffer ops (native ring buffer or numpy fallback) ------------------
+
+    def _push(self, x: np.ndarray) -> None:
+        if self._rb is not None:
+            self._rb.push(x)
+        else:
+            self._buf = np.concatenate([self._buf, x])
+
+    def _size(self) -> int:
+        return len(self._rb) if self._rb is not None else len(self._buf)
 
     def _ready(self) -> bool:
-        return not self.is_finished and len(self._buf) >= self._rec.window_samples
+        return not self.is_finished and self._size() >= self._rec.window_samples
 
     def _take_window(self) -> np.ndarray:
         win = self._rec.window_samples
         hop = self._rec.hop_samples
-        out = self._buf[:win]
-        self._buf = self._buf[hop:]
+        if self._rb is not None:
+            out = self._rb.window(win)
+            self._rb.advance(hop)
+        else:
+            out = self._buf[:win]
+            self._buf = self._buf[hop:]
         self._consumed += hop
-        if self.finished_input and len(self._buf) < win:
+        if self.finished_input and self._size() < win:
             self.is_finished = True
         return out
 
@@ -116,6 +133,8 @@ class OnlineRecognizer:
         max_lanes: int = 8,
         max_tokens: int = 512,
         max_active_paths: int = 4,
+        enable_endpoint: bool = False,
+        endpoint_config=None,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"
@@ -126,6 +145,8 @@ class OnlineRecognizer:
         ):
             raise ValueError(f"unsupported decoding method {decoding_method!r}")
         self.max_active_paths = max_active_paths
+        self.enable_endpoint = enable_endpoint
+        self._endpoint_cfg = endpoint_config
         self.bundle = bundle
         self.decoding_method = decoding_method
         self.compute_dtype = compute_dtype
@@ -135,7 +156,7 @@ class OnlineRecognizer:
         enc_cfg = bundle.encoder_cfg
         fcfg = bundle.frontend_cfg
         # raw-feature window per step and hop, in samples
-        self.chunk_frames = enc_cfg.chunk_size  # subsampled frames out
+        self.chunk_frames = bundle.encoder.output_chunk_len(enc_cfg)  # frames out/step
         self._feat_window = enc_cfg.chunk_input_len
         self._feat_hop = enc_cfg.decode_chunk_len
         self.window_samples = (self._feat_window - 1) * fcfg.frame_shift + fcfg.frame_length
@@ -201,6 +222,30 @@ class OnlineRecognizer:
 
     GetResult = get_result
     GetResults = get_results
+
+    def is_endpoint(self, stream: OnlineStream) -> bool:
+        """Real endpoint rules (the reference's enableEndpoint is plumbed
+        nowhere; see runtime/endpoint.py).  Driven by the device-tracked
+        trailing-blank counter; not available for beam search (its state
+        keeps no blank counter)."""
+        if not self.enable_endpoint or stream.lane < 0:
+            return False
+        if self.decoding_method == "modified_beam_search":
+            return False
+        from k2transducerasr_tpu.runtime.endpoint import EndpointConfig, is_endpoint
+
+        cfg = self._endpoint_cfg or EndpointConfig(
+            frame_seconds=(self.hop_samples / self.bundle.frontend_cfg.sample_rate)
+            / self.chunk_frames
+        )
+        trailing, count, frames = jax.device_get(
+            (
+                self._dec_state.trailing_blanks[stream.lane],
+                self._dec_state.count[stream.lane],
+                self._frame_count[stream.lane],
+            )
+        )
+        return is_endpoint(cfg, int(trailing), int(count), int(frames))
 
     def decode_to_end(self, stream: OnlineStream) -> OnlineRecognizerResult:
         """Convenience: drain a finished stream completely."""
