@@ -154,10 +154,12 @@ def subsample(params, cfg: ConformerConfig, x, compute_dtype=None):
 
 
 def _rel_pos_emb(t_q: int, s_kv: int, dim: int, dtype=jnp.float32):
-    """Sinusoidal embeddings for relative positions r = t_global - s, laid
-    out as rho = r + (t_q - 1), rho in [0, t_q + s_kv - 1); r spans
-    [-(t_q-1), s_kv-1]."""
-    r = jnp.arange(-(t_q - 1), s_kv, dtype=jnp.float32)  # [R]
+    """Sinusoidal embeddings for relative positions in DESCENDING order
+    (r = s_kv-1 .. -(t_q-1)) so scores align via the gather-free rel_shift
+    (ops/attention.py)."""
+    from k2transducerasr_tpu.ops.attention import descending_rel_positions
+
+    r = descending_rel_positions(t_q, s_kv)  # [R]
     inv = jnp.exp(
         jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
     )
@@ -188,14 +190,11 @@ def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=No
     scale = 1.0 / math.sqrt(dh)
     q_u = (q + p["u"]).astype(k.dtype)
     q_v = (q + p["v_bias"]).astype(k.dtype)
+    from k2transducerasr_tpu.ops.attention import rel_shift
+
     ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
     bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
-    # shift: scores[t, s] need rho = (t + off) - s + (t_q - 1), off = s_kv - t_q
-    off = s - t
-    idx = (jnp.arange(t)[:, None] + off - jnp.arange(s)[None, :]) + (t - 1)
-    bd = jnp.take_along_axis(
-        bd_full, jnp.broadcast_to(idx, (b, h, t, s)), axis=-1
-    )
+    bd = rel_shift(bd_full, s)
     scores = (ac + bd) * scale  # [B, H, T, S] f32
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)

@@ -230,16 +230,14 @@ def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
     ) * scale
+    from k2transducerasr_tpu.ops.attention import rel_shift
+
     pe = _compact_rel_pos(t, s, 48)
     pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
     pos_full = jnp.einsum(
         "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
     )
-    off = s - t
-    idx = (jnp.arange(t)[:, None] + off - jnp.arange(s)[None, :]) + (t - 1)
-    scores = scores + jnp.take_along_axis(
-        pos_full, jnp.broadcast_to(idx, (b, heads, t, s)), axis=-1
-    )
+    scores = scores + rel_shift(pos_full, s)
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
     attn_w = jax.nn.softmax(scores, axis=-1)  # [B,H,T,S]

@@ -218,9 +218,12 @@ def _depthwise2d(x, w, b, compute_dtype=None):
 
 
 def _compact_rel_pos(t_q: int, s_kv: int, pos_dim: int):
-    """[R, pos_dim] embedding of relative positions r in [-(t_q-1), s_kv-1]
-    (rho = r + t_q - 1), using sign-preserving log compression then sin/cos."""
-    r = jnp.arange(-(t_q - 1), s_kv, dtype=jnp.float32)
+    """[R, pos_dim] embedding of relative positions in DESCENDING order
+    (r = s_kv-1 .. -(t_q-1), the layout ops/attention.rel_shift expects),
+    using sign-preserving log compression then sin/cos."""
+    from k2transducerasr_tpu.ops.attention import descending_rel_positions
+
+    r = descending_rel_positions(t_q, s_kv)
     comp = math.sqrt(pos_dim)
     x = comp * jnp.sign(r) * (jnp.log(jnp.abs(r) + comp) - math.log(comp))
     freqs = jnp.exp(
@@ -348,17 +351,14 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype)
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
     )
+    from k2transducerasr_tpu.ops.attention import rel_shift
+
     pe = _compact_rel_pos(t, s, cfg.pos_dim)
     pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
     pos_full = jnp.einsum(
         "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
     )
-    off = s - t
-    idx = (jnp.arange(t)[:, None] + off - jnp.arange(s)[None, :]) + (t - 1)
-    pos_scores = jnp.take_along_axis(
-        pos_full, jnp.broadcast_to(idx, (b, heads, t, s)), axis=-1
-    )
-    scores = scores + pos_scores
+    scores = scores + rel_shift(pos_full, s)
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
     return jax.nn.softmax(scores, axis=-1)
