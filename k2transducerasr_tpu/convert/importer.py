@@ -264,6 +264,15 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
     metadata = enc_model.metadata
     model_type = detect_model_type(metadata)
     enc_cfg = encoder_config_from_metadata(metadata)
+    # "feature" metadata: fbank (default) or whisper (hanning, centered
+    # frames — OfflineStream.cs:27-32)
+    from k2transducerasr_tpu.frontend.fbank import FbankConfig
+
+    frontend_cfg = (
+        FbankConfig.whisper()
+        if metadata.get("feature") == "whisper"
+        else FbankConfig()
+    )
 
     report: list[str] = []
     params: dict = {}
@@ -293,8 +302,7 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
         bundle.params["decoder"] = dec_params
         bundle.params["joiner"] = join_params
     bundle.tokens = SymbolTable.from_file(tok_path)
-    params = bundle.params
-    del params
+    bundle.frontend_cfg = frontend_cfg
 
     os.makedirs(dst_dir, exist_ok=True)
     bundle.save(dst_dir)

@@ -79,6 +79,17 @@ class FbankConfig:
             return p
         return n
 
+    @classmethod
+    def whisper(cls, sample_rate: int = 16000) -> "FbankConfig":
+        """The reference's whisper special-case: hanning window, 80 mels,
+        snip_edges=False (OfflineStream.cs:27-32)."""
+        return cls(
+            sample_rate=sample_rate,
+            window_type="hanning",
+            num_mel_bins=80,
+            snip_edges=False,
+        )
+
 
 def num_frames_for(num_samples: int, cfg: FbankConfig) -> int:
     """Frame count under snip_edges semantics (kaldi NumFrames)."""
@@ -87,6 +98,14 @@ def num_frames_for(num_samples: int, cfg: FbankConfig) -> int:
         if num_samples < fl:
             return 0
         return 1 + (num_samples - fl) // fs
+    return (num_samples + fs // 2) // fs
+
+
+def num_frames_jnp(num_samples, cfg: FbankConfig):
+    """Traced-array version of ``num_frames_for`` (for use inside jit)."""
+    fl, fs = cfg.frame_length, cfg.frame_shift
+    if cfg.snip_edges:
+        return jnp.where(num_samples < fl, 0, 1 + (num_samples - fl) // fs)
     return (num_samples + fs // 2) // fs
 
 
@@ -178,23 +197,55 @@ def fbank_matrices(cfg: FbankConfig):
 
 
 def frame_indices(num_frames: int, cfg: FbankConfig) -> jnp.ndarray:
-    """Gather index matrix [num_frames, frame_len] for snip_edges framing."""
-    starts = np.arange(num_frames, dtype=np.int32) * cfg.frame_shift
+    """Gather index matrix [num_frames, frame_len].
+
+    snip_edges=True: frame t covers [t*shift, t*shift + frame_len).
+    snip_edges=False: frame t is centered at t*shift + shift/2 (kaldi
+    semantics); out-of-range indices are produced raw and must be reflected
+    against the true sample count (see ``_reflect``)."""
+    if cfg.snip_edges:
+        starts = np.arange(num_frames, dtype=np.int32) * cfg.frame_shift
+    else:
+        starts = (
+            np.arange(num_frames, dtype=np.int32) * cfg.frame_shift
+            + cfg.frame_shift // 2
+            - cfg.frame_length // 2
+        )
     offs = np.arange(cfg.frame_length, dtype=np.int32)
     return jnp.asarray(starts[:, None] + offs[None, :])
 
 
-def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None):
+def _reflect(idx, n_valid):
+    """Kaldi boundary reflection: s<0 -> -s-1;  s>=n -> 2n-1-s.
+    idx: [T, L] int32; n_valid: [B] -> [B, T, L]."""
+    idx = jnp.where(idx < 0, -idx - 1, idx)
+    n = n_valid[:, None, None]
+    idx = jnp.broadcast_to(idx[None], (n_valid.shape[0], *idx.shape))
+    idx = jnp.where(idx >= n, 2 * n - 1 - idx, idx)
+    return jnp.clip(idx, 0, None)
+
+
+def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None, n_valid=None):
     """Pure fbank over a sample window — composable inside larger jitted
     programs (the online chunk step fuses this with encoder + search).
 
     samples: [B, N] float32 (N >= (num_frames-1)*shift + frame_length).
+    n_valid: [B] true sample counts — REQUIRED when snip_edges=False (frame
+    centering reflects at the true signal boundaries).
     Returns feats [B, num_frames, num_mel_bins].
     """
     dft, mel = _matrices_cached(cfg)
     idx = frame_indices(num_frames, cfg)  # [T, L]
     x = samples * cfg.input_scale
-    frames = x[:, idx]  # [B, T, L] gather
+    if cfg.snip_edges:
+        frames = x[:, idx]  # [B, T, L] gather
+    else:
+        if n_valid is None:
+            n_valid = jnp.full((samples.shape[0],), samples.shape[1], jnp.int32)
+        ridx = _reflect(idx, n_valid)  # [B, T, L]
+        ridx = jnp.clip(ridx, 0, samples.shape[1] - 1)
+        frames = jnp.take_along_axis(x[:, None, :], ridx.reshape(x.shape[0], -1)[:, None, :], axis=2)
+        frames = frames.reshape(x.shape[0], *idx.shape)
     if cfg.dither > 0.0:
         if dither_key is None:
             dither_key = jax.random.PRNGKey(0)
@@ -229,8 +280,7 @@ def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None):
 def _fbank_impl(samples, n_valid, cfg: FbankConfig, num_frames: int, dither_key):
     """Jitted batch entry.  Frames past a stream's valid count are garbage —
     callers mask with ``num_frames_for``."""
-    del n_valid
-    return fbank_compute(samples, cfg, num_frames, dither_key)
+    return fbank_compute(samples, cfg, num_frames, dither_key, n_valid)
 
 
 class FbankExtractor:
@@ -290,6 +340,13 @@ class OnlineFbank:
     """
 
     def __init__(self, cfg: FbankConfig):
+        if not cfg.snip_edges:
+            raise ValueError(
+                "streaming fbank requires snip_edges=True (whisper-style "
+                "centered framing reflects at utterance boundaries, which "
+                "are unknown while streaming — reference uses it offline "
+                "only, OfflineStream.cs:27-32)"
+            )
         self.cfg = cfg
         self._buf = np.zeros(0, dtype=np.float32)
         self._finished = False

@@ -62,13 +62,35 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> Any:
     return listify(root)
 
 
-def save_params(path: str, tree: Any) -> None:
-    np.savez(path, **flatten_params(tree))
+def save_params(path: str, tree: Any, dtype: str = "float32") -> None:
+    """dtype="int8": symmetric per-tensor quantization of float leaves
+    (>=2-D, >=1024 elements) with the scale stored alongside — the storage
+    analogue of the reference's int8 ONNX models.  Dequantized on load."""
+    flat = flatten_params(tree)
+    if dtype == "int8":
+        out: dict[str, np.ndarray] = {}
+        for k, v in flat.items():
+            if v.dtype.kind == "f" and v.ndim >= 2 and v.size >= 1024:
+                scale = np.abs(v).max() / 127.0 or 1.0
+                out[k + "::q8"] = np.round(v / scale).astype(np.int8)
+                out[k + "::scale"] = np.float32(scale)
+            else:
+                out[k] = v
+        flat = out
+    np.savez(path, **flat)
 
 
 def load_params(path: str, device=None) -> Any:
     with np.load(path) as data:
-        flat = {k: data[k] for k in data.files}
+        flat: dict[str, np.ndarray] = {}
+        for k in data.files:
+            if k.endswith("::q8"):
+                base = k[: -len("::q8")]
+                flat[base] = data[k].astype(np.float32) * data[base + "::scale"]
+            elif k.endswith("::scale"):
+                continue
+            else:
+                flat[k] = data[k]
     tree = unflatten_params(flat)
     if device is not None:
         tree = jax.device_put(tree, device)

@@ -114,18 +114,21 @@ class OfflineRecognizer:
         cfg = self.bundle.frontend_cfg
         b = len(streams)
         n_samples = [len(s.samples) for s in streams]
-        n_max = max(n_samples)
-        batch = np.zeros((b, n_max), np.float32)
-        for i, s in enumerate(streams):
-            batch[i, : n_samples[i]] = s.samples
-        feats, n_frames = self._extractor(batch, n_valid=np.asarray(n_samples))
+        n_frames = np.array([num_frames_for(n, cfg) for n in n_samples], np.int32)
 
+        # ONE device program does fbank -> encoder -> search; the host only
+        # ships the padded sample batch (as int16 — bit-exact for PCM16
+        # sources and half the tunnel bytes) and reads back token buffers.
         t_pad = _bucket(int(n_frames.max(initial=1)), self.frame_bucket, self.frame_bucket)
-        feats = feats[:, :t_pad] if feats.shape[1] >= t_pad else jnp.pad(
-            feats, ((0, 0), (0, t_pad - feats.shape[1]), (0, 0))
-        )
+        need = (t_pad - 1) * cfg.frame_shift + cfg.frame_length
+        batch = np.zeros((b, need), np.int16)
+        for i, s in enumerate(streams):
+            x = s.samples[:need]
+            batch[i, : len(x)] = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
         tokens, timestamps, count = self._decode_fn(
-            self.bundle.params, feats, jnp.asarray(n_frames)
+            self.bundle.params,
+            jnp.asarray(batch),
+            jnp.asarray(np.minimum(n_samples, need).astype(np.int32)),
         )
         raw = rnnt_greedy.extract_results(tokens, timestamps, count)
         results = []
@@ -150,20 +153,36 @@ class OfflineRecognizer:
         bundle = self.bundle
         enc_mod = bundle.encoder
         enc_cfg = bundle.encoder_cfg
+        fcfg = bundle.frontend_cfg
         compute_dtype = self.compute_dtype
         max_tokens = self.max_tokens
+
+        def front(samples, sample_counts):
+            """samples [B, N] int16 + true counts -> (feats [B, T_pad, F],
+            feat_lens [B]) — fused into the decode jit."""
+            from k2transducerasr_tpu.frontend.fbank import (
+                fbank_compute,
+                num_frames_jnp,
+            )
+
+            samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
+            n = samples.shape[1]
+            t_pad = (n - fcfg.frame_length) // fcfg.frame_shift + 1
+            feats = fbank_compute(samples, fcfg, t_pad, n_valid=sample_counts)
+            return feats, num_frames_jnp(sample_counts, fcfg)
 
         if self.decoding_method == "greedy_search_ctc":
 
             @functools.partial(jax.jit)
-            def decode(params, feats, feat_lens):
+            def decode(params, samples, sample_counts):
+                feats, feat_lens = front(samples, sample_counts)
                 enc_out, enc_lens = enc_mod.forward(
                     params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
                 )
                 lp = ctc_mod.log_probs(params["ctc"], enc_out, compute_dtype)
-                state = ctc_greedy.init_state(feats.shape[0], max_tokens)
+                state = ctc_greedy.init_state(samples.shape[0], max_tokens)
                 final = ctc_greedy.ctc_frames(
-                    state, lp, enc_lens, jnp.zeros((feats.shape[0],), jnp.int32)
+                    state, lp, enc_lens, jnp.zeros((samples.shape[0],), jnp.int32)
                 )
                 return final.tokens, final.timestamps, final.count
 
@@ -177,7 +196,8 @@ class OfflineRecognizer:
             paths = self.max_active_paths
 
             @functools.partial(jax.jit)
-            def decode(params, feats, feat_lens):
+            def decode(params, samples, sample_counts):
+                feats, feat_lens = front(samples, sample_counts)
                 enc_out, enc_lens = enc_mod.forward(
                     params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
                 )
@@ -190,7 +210,8 @@ class OfflineRecognizer:
             return decode
 
         @functools.partial(jax.jit)
-        def decode(params, feats, feat_lens):
+        def decode(params, samples, sample_counts):
+            feats, feat_lens = front(samples, sample_counts)
             enc_out, enc_lens = enc_mod.forward(
                 params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
             )
@@ -198,13 +219,13 @@ class OfflineRecognizer:
                 params["joiner"], enc_out, compute_dtype
             )
             state = rnnt_greedy.init_state(
-                params["decoder"], dec_cfg, params["joiner"], feats.shape[0],
+                params["decoder"], dec_cfg, params["joiner"], samples.shape[0],
                 max_tokens, compute_dtype,
             )
             final = rnnt_greedy.greedy_frames(
                 params["decoder"], dec_cfg, params["joiner"], state,
                 enc_proj, enc_lens,
-                jnp.zeros((feats.shape[0],), jnp.int32),
+                jnp.zeros((samples.shape[0],), jnp.int32),
                 False, compute_dtype,
             )
             return final.tokens, final.timestamps, final.count

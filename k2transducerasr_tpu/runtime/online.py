@@ -223,6 +223,44 @@ class OnlineRecognizer:
     GetResult = get_result
     GetResults = get_results
 
+    def snapshot_stream(self, stream: OnlineStream) -> dict:
+        """Serialize a stream's FULL decode state (encoder caches, decode
+        state, frame counter, buffered samples) to host arrays.  This is the
+        resumable unit SURVEY.md §5 calls for — a snapshot can be restored
+        into any lane of any recognizer with the same bundle/config (e.g.
+        migrating streams across hosts under elasticity)."""
+        lane = stream.lane
+        if lane < 0:
+            raise ValueError("stream has no lane (disposed?)")
+        enc = jax.tree.map(lambda a: np.asarray(a[lane]), self._enc_state)
+        dec = jax.tree.map(lambda a: np.asarray(a[lane]), self._dec_state)
+        win = stream._rb.window(stream._size()) if stream._rb is not None else stream._buf
+        return {
+            "enc": enc,
+            "dec": dec,
+            "frames": int(jax.device_get(self._frame_count[lane])),
+            "buffer": np.asarray(win if win is not None else np.zeros(0, np.float32)),
+            "consumed": stream._consumed,
+            "finished_input": stream.finished_input,
+        }
+
+    def restore_stream(self, snapshot: dict) -> OnlineStream:
+        """Create a new stream whose device + host state continues exactly
+        from a snapshot."""
+        stream = self.create_online_stream()
+        lane = stream.lane
+        self._enc_state = jax.tree.map(
+            lambda pool, v: pool.at[lane].set(jnp.asarray(v)), self._enc_state, snapshot["enc"]
+        )
+        self._dec_state = jax.tree.map(
+            lambda pool, v: pool.at[lane].set(jnp.asarray(v)), self._dec_state, snapshot["dec"]
+        )
+        self._frame_count = self._frame_count.at[lane].set(snapshot["frames"])
+        stream._push(snapshot["buffer"])
+        stream._consumed = snapshot["consumed"]
+        stream.finished_input = snapshot["finished_input"]
+        return stream
+
     def is_endpoint(self, stream: OnlineStream) -> bool:
         """Real endpoint rules (the reference's enableEndpoint is plumbed
         nowhere; see runtime/endpoint.py).  Driven by the device-tracked

@@ -42,8 +42,16 @@ def fbank_reference(samples: np.ndarray, cfg: FbankConfig) -> np.ndarray:
     win = _window_np(cfg)
     out = np.zeros((t, cfg.num_mel_bins))
     assert cfg.dither == 0.0, "reference oracle only covers dither=0"
+    n = len(x)
     for f in range(t):
-        frame = x[f * cfg.frame_shift : f * cfg.frame_shift + cfg.frame_length].copy()
+        if cfg.snip_edges:
+            frame = x[f * cfg.frame_shift : f * cfg.frame_shift + cfg.frame_length].copy()
+        else:
+            start = f * cfg.frame_shift + cfg.frame_shift // 2 - cfg.frame_length // 2
+            idx = np.arange(start, start + cfg.frame_length)
+            idx = np.where(idx < 0, -idx - 1, idx)
+            idx = np.where(idx >= n, 2 * n - 1 - idx, idx)
+            frame = x[idx].copy()
         if cfg.remove_dc_offset:
             frame -= frame.mean()
         if cfg.preemph_coeff != 0.0:

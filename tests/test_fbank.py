@@ -61,6 +61,18 @@ def test_batched_matches_single():
     np.testing.assert_allclose(np.asarray(feats[1])[:tb], np.asarray(fb)[:tb], rtol=1e-5, atol=1e-5)
 
 
+def test_whisper_snip_edges_false_matches_reference():
+    """OfflineStream.cs:27-32 whisper semantics: hanning, snip_edges=False
+    (centered frames with boundary reflection)."""
+    cfg = FbankConfig.whisper()
+    assert cfg.window_type == "hanning" and not cfg.snip_edges
+    x = _speech_like(15843, seed=9)  # odd length exercises reflection
+    ref = fbank_reference(x, cfg)
+    feats, t = FbankExtractor(cfg)(x)
+    assert t == ref.shape[0] == num_frames_for(len(x), cfg)
+    np.testing.assert_allclose(np.asarray(feats)[:t], ref, rtol=2e-4, atol=2e-3)
+
+
 def test_online_streaming_equals_offline():
     """Chunked accept_waveform must produce exactly the whole-buffer frames
     (kaldi online semantics: frame t covers samples [t*160, t*160+400))."""
