@@ -78,7 +78,7 @@ def run(opts: dict) -> int:
     if not os.path.isdir(model_dir):
         print(f"model directory not found: {model_dir}", file=sys.stderr)
         return 2
-    bundle = ModelBundle.from_dir(model_dir)
+    bundle = ModelBundle.from_dir(model_dir, accuracy=opts["accuracy"])
 
     files = opts["files"]
     if not files:
@@ -153,6 +153,10 @@ def run(opts: dict) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    if not argv and not any(k.startswith("MANYSPEECH_") for k in os.environ):
+        # reference behavior: no args and no env -> print usage
+        print(__doc__)
+        return 0
     if argv and argv[0] == "convert":
         if len(argv) != 3:
             print("usage: ... convert <onnx_model_dir> <out_model_dir>", file=sys.stderr)

@@ -275,15 +275,30 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
     )
 
     report: list[str] = []
-    params: dict = {}
-    # Encoder weight mapping is family-specific and incomplete by design in
-    # round 1 — record what we saw so the gap is explicit.
-    report.append(
-        f"encoder: {len(enc_model.initializers)} initializers parsed from "
-        f"{os.path.basename(enc_path)} (family {model_type}); automatic "
-        "name-mapping for encoder weights is not yet wired — see convert/"
-        "importer.py stage 3."
-    )
+    enc_params = None
+    if model_type in ("zipformer2", "zipformer2ctc"):
+        from k2transducerasr_tpu.convert.zipformer2_map import (
+            infer_config_refinements,
+            map_zipformer2_weights,
+        )
+
+        deq = enc_model.dequantized()
+        enc_cfg = infer_config_refinements(enc_cfg, deq)
+        enc_params, mapped, unmapped = map_zipformer2_weights(enc_cfg, deq)
+        report.append(
+            f"encoder: mapped {len(mapped)}/{len(mapped) + len(unmapped)} "
+            f"initializers from {os.path.basename(enc_path)}"
+        )
+        if unmapped:
+            report.append("UNMAPPED encoder weights (import may be incomplete):")
+            report.extend(f"  {n}" for n in sorted(unmapped)[:200])
+    else:
+        report.append(
+            f"encoder: {len(enc_model.initializers)} initializers parsed from "
+            f"{os.path.basename(enc_path)} (family {model_type}); automatic "
+            "name-mapping for this family is not yet wired — see convert/"
+            "zipformer2_map.py for the flagship mapping pattern."
+        )
 
     from k2transducerasr_tpu.runtime.bundle import ModelBundle
     from k2transducerasr_tpu.text.symbol_table import SymbolTable
@@ -303,6 +318,8 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
         bundle.params["joiner"] = join_params
     bundle.tokens = SymbolTable.from_file(tok_path)
     bundle.frontend_cfg = frontend_cfg
+    if enc_params is not None:
+        bundle.params["encoder"] = enc_params
 
     os.makedirs(dst_dir, exist_ok=True)
     bundle.save(dst_dir)

@@ -57,7 +57,9 @@ def forward(params, cfg: DecoderConfig, y: jnp.ndarray) -> jnp.ndarray:
     y = jnp.where(y < 0, cfg.blank_id, y)
     emb = L.apply_embedding(params["embedding"], y)  # [B, ctx, D]
     if cfg.context_size > 1:
-        groups = max(1, cfg.decoder_dim // 4)
+        # groups derived from the weight layout [k, in/groups, out] so
+        # imported exports with different grouping still apply correctly
+        groups = cfg.decoder_dim // params["conv"]["w"].shape[1]
         out = L.apply_conv1d(params["conv"], emb, groups=groups, padding="VALID")
         out = out[:, 0, :]  # context window == kernel -> single output frame
     else:
@@ -74,7 +76,7 @@ def forward_sequence(params, cfg: DecoderConfig, ys: jnp.ndarray) -> jnp.ndarray
     hist = jnp.concatenate([pad, jnp.where(ys < 0, cfg.blank_id, ys)], axis=1)
     emb = L.apply_embedding(params["embedding"], hist)
     if cfg.context_size > 1:
-        groups = max(1, cfg.decoder_dim // 4)
+        groups = cfg.decoder_dim // params["conv"]["w"].shape[1]
         out = L.apply_conv1d(params["conv"], emb, groups=groups, padding="VALID")
     else:
         out = emb

@@ -342,10 +342,11 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype)
     heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x_q.shape
     s = k_src.shape[1]
-    proj = L.apply_linear(p["in_proj"], x_q, compute_dtype)  # [B,T,H*(2qd+pd)]
-    proj = proj.reshape(b, t, heads, 2 * qd + pd)
-    q = proj[..., :qd]
-    pos_q = proj[..., 2 * qd :]  # [B,T,H,pd]
+    # in_proj column layout is flat [q (H*qd) | k (H*qd) | pos (H*pd)] —
+    # matching icefall's export so weights import as-is
+    proj = L.apply_linear(p["in_proj"], x_q, compute_dtype)
+    q = proj[..., : heads * qd].reshape(b, t, heads, qd)
+    pos_q = proj[..., 2 * heads * qd :].reshape(b, t, heads, pd)
     k = k_src.reshape(b, s, heads, qd)
 
     scores = jnp.einsum(
@@ -366,10 +367,9 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype)
 
 def _project_keys(p, cfg: Zipformer2Config, si, x, compute_dtype):
     """Key projection only (for building/caching the kv-side key sequence)."""
-    heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
+    heads, qd = cfg.num_heads[si], cfg.query_head_dim
     proj = L.apply_linear(p["in_proj"], x, compute_dtype)
-    proj = proj.reshape(*x.shape[:-1], heads, 2 * qd + pd)
-    return proj[..., qd : 2 * qd].reshape(*x.shape[:-1], heads * qd)
+    return proj[..., heads * qd : 2 * heads * qd]
 
 
 def _self_attn(p, cfg, si, v_src, attn_w, compute_dtype):

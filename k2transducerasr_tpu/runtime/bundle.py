@@ -48,8 +48,8 @@ class ModelBundle:
     # -- construction -------------------------------------------------------
 
     @classmethod
-    def from_dir(cls, model_dir: str) -> "ModelBundle":
-        files = checkpoint.model_dir_files(model_dir)
+    def from_dir(cls, model_dir: str, accuracy: str = "") -> "ModelBundle":
+        files = checkpoint.model_dir_files(model_dir, accuracy)
         raw = checkpoint.load_config(files["config"])
         model_type = raw["model_type"]
         enc_mod = get_encoder(model_type)

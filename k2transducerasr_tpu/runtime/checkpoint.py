@@ -113,12 +113,19 @@ def load_config(path: str) -> dict[str, Any]:
         return json.load(f)
 
 
-def model_dir_files(model_dir: str) -> dict[str, str]:
+def model_dir_files(model_dir: str, accuracy: str = "") -> dict[str, str]:
     """Locate config/params/tokens in a model directory (the analogue of the
-    reference Examples' file discovery, Examples/OnlineRecognizer.cs:41-77)."""
+    reference Examples' file discovery, which prefers ``*.{accuracy}.*``
+    files — Examples/OnlineRecognizer.cs:41-77).  ``accuracy`` (e.g.
+    "int8") selects ``params.int8.npz`` when present."""
+    params = os.path.join(model_dir, "params.npz")
+    if accuracy:
+        preferred = os.path.join(model_dir, f"params.{accuracy}.npz")
+        if os.path.exists(preferred):
+            params = preferred
     files = {
         "config": os.path.join(model_dir, "config.json"),
-        "params": os.path.join(model_dir, "params.npz"),
+        "params": params,
         "tokens": os.path.join(model_dir, "tokens.txt"),
     }
     missing = [k for k, v in files.items() if not os.path.exists(v)]
