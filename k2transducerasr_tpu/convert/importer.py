@@ -292,12 +292,48 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
         if unmapped:
             report.append("UNMAPPED encoder weights (import may be incomplete):")
             report.extend(f"  {n}" for n in sorted(unmapped)[:200])
+    elif model_type == "zipformer":
+        from k2transducerasr_tpu.convert.zipformer1_map import map_zipformer1_weights
+
+        enc_params, mapped, unmapped = map_zipformer1_weights(
+            enc_cfg, enc_model.dequantized()
+        )
+        report.append(
+            f"encoder: mapped {len(mapped)}/{len(mapped) + len(unmapped)} "
+            f"initializers from {os.path.basename(enc_path)}"
+        )
+        if unmapped:
+            report.append("UNMAPPED encoder weights (import may be incomplete):")
+            report.extend(f"  {n}" for n in sorted(unmapped)[:200])
+    elif model_type in ("conformer", "lstm"):
+        from k2transducerasr_tpu.convert.family_maps import (
+            infer_conformer_refinements,
+            infer_lstm_refinements,
+            map_conformer_weights,
+            map_lstm_weights,
+        )
+
+        deq = enc_model.dequantized()
+        if model_type == "conformer":
+            enc_cfg = infer_conformer_refinements(enc_cfg, deq)
+            fn = map_conformer_weights
+        else:
+            enc_cfg = infer_lstm_refinements(enc_cfg, deq)
+            fn = map_lstm_weights
+        enc_params, mapped, unmapped = fn(enc_cfg, deq)
+        report.append(
+            f"encoder: mapped {len(mapped)}/{len(mapped) + len(unmapped)} "
+            f"initializers from {os.path.basename(enc_path)}"
+        )
+        if unmapped:
+            report.append("UNMAPPED encoder weights (import may be incomplete):")
+            report.extend(f"  {n}" for n in sorted(unmapped)[:200])
     else:
         report.append(
             f"encoder: {len(enc_model.initializers)} initializers parsed from "
             f"{os.path.basename(enc_path)} (family {model_type}); automatic "
             "name-mapping for this family is not yet wired — see convert/"
-            "zipformer2_map.py for the flagship mapping pattern."
+            "zipformer2_map.py for the mapping pattern (zipformer v1 pending)."
         )
 
     from k2transducerasr_tpu.runtime.bundle import ModelBundle

@@ -83,8 +83,9 @@ def init_params(key, cfg: LstmConfig):
         layers.append(
             {
                 "lstm": _init_lstm(ks[0], cfg.d_model, cfg.rnn_hidden_size, cfg.d_model),
+                # icefall RNNEncoderLayer feed_forward: Linear -> DoubleSwish
+                # -> Linear (no pre-norm); norm_final closes the layer
                 "ff": {
-                    "ln": L.init_layernorm(cfg.d_model),
                     "w1": L.init_linear(ks[1], cfg.d_model, cfg.ff_dim),
                     "w2": L.init_linear(ks[2], cfg.ff_dim, cfg.d_model),
                 },
@@ -134,8 +135,7 @@ def _encode(params, cfg: LstmConfig, h, state, compute_dtype=None):
         new_c.append(c_t)
         h = h + lstm_out
         ff = layer["ff"]
-        ffh = L.apply_layernorm(ff["ln"], h)
-        ffh = L.swish(L.apply_linear(ff["w1"], ffh, compute_dtype))
+        ffh = L.double_swish(L.apply_linear(ff["w1"], h, compute_dtype))
         h = h + L.apply_linear(ff["w2"], ffh, compute_dtype)
         h = L.apply_layernorm(layer["norm_final"], h)
     return h, {"h": jnp.stack(new_h, axis=1), "c": jnp.stack(new_c, axis=1)}

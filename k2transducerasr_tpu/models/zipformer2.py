@@ -335,18 +335,20 @@ def init_params(key, cfg: Zipformer2Config):
 def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype):
     """Compute shared attention weights.
 
-    x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (chunk keys are
-    produced here by the caller via the same in_proj; cached keys come from
-    the streaming cache).  Returns probs [B, H, T, S].
+    x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (streaming:
+    cache|chunk) or None (offline: keys taken from this same in_proj
+    evaluation — saves a duplicate projection).  Returns probs [B, H, T, S].
     """
     heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x_q.shape
-    s = k_src.shape[1]
     # in_proj column layout is flat [q (H*qd) | k (H*qd) | pos (H*pd)] —
     # matching icefall's export so weights import as-is
     proj = L.apply_linear(p["in_proj"], x_q, compute_dtype)
     q = proj[..., : heads * qd].reshape(b, t, heads, qd)
     pos_q = proj[..., 2 * heads * qd :].reshape(b, t, heads, pd)
+    if k_src is None:
+        k_src = proj[..., heads * qd : 2 * heads * qd]
+    s = k_src.shape[1]
     k = k_src.reshape(b, s, heads, qd)
 
     scores = jnp.einsum(
@@ -366,10 +368,15 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype)
 
 
 def _project_keys(p, cfg: Zipformer2Config, si, x, compute_dtype):
-    """Key projection only (for building/caching the kv-side key sequence)."""
+    """Key projection only (for building/caching the kv-side key sequence).
+    Uses a sliced weight so the matmul is one-third of in_proj, not the full
+    projection with discarded columns."""
     heads, qd = cfg.num_heads[si], cfg.query_head_dim
-    proj = L.apply_linear(p["in_proj"], x, compute_dtype)
-    return proj[..., heads * qd : 2 * heads * qd]
+    sl = slice(heads * qd, 2 * heads * qd)
+    sub = {"w": p["in_proj"]["w"][:, sl]}
+    if "b" in p["in_proj"]:
+        sub["b"] = p["in_proj"]["b"][sl]
+    return L.apply_linear(sub, x, compute_dtype)
 
 
 def _self_attn(p, cfg, si, v_src, attn_w, compute_dtype):
@@ -512,13 +519,16 @@ def _layer_forward(
     x_orig = x
     streaming = caches is not None
 
-    # shared attention weights from the ORIGINAL layer input
-    k_chunk = _project_keys(p["attn_weights"], cfg, si, x, compute_dtype)
+    # shared attention weights from the ORIGINAL layer input.  Offline, the
+    # keys come from the same in_proj evaluation as q/pos (k_src=None);
+    # streaming projects only the chunk's keys (sliced weight) and
+    # concatenates the cache.
     if streaming:
+        k_chunk = _project_keys(p["attn_weights"], cfg, si, x, compute_dtype)
         k_src = jnp.concatenate([caches["key"].astype(k_chunk.dtype), k_chunk], axis=1)
         new_key = k_src[:, -caches["key"].shape[1] :, :]
     else:
-        k_src = k_chunk
+        k_src = None
         new_key = None
     attn_w = _attn_weights(p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype)
 

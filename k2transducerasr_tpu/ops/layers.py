@@ -96,6 +96,11 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+def double_swish(x):
+    """icefall DoubleSwish: x * sigmoid(x - 1)."""
+    return x * jax.nn.sigmoid(x - 1.0)
+
+
 def swoosh_l(x):
     """SwooshL(x) = log(1 + exp(x-4)) - 0.08x - 0.035 (icefall zipformer2)."""
     return jnp.logaddexp(0.0, x - 4.0) - 0.08 * x - 0.035

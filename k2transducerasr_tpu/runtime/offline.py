@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from k2transducerasr_tpu.decode import ctc_greedy, rnnt_greedy
-from k2transducerasr_tpu.frontend.fbank import FbankExtractor, num_frames_for
+from k2transducerasr_tpu.frontend.fbank import num_frames_for
 from k2transducerasr_tpu.models import ctc as ctc_mod
 from k2transducerasr_tpu.models import joiner as joiner_mod
 from k2transducerasr_tpu.runtime.bundle import ModelBundle
@@ -96,7 +96,6 @@ class OfflineRecognizer:
         self.max_tokens = max_tokens
         self.frame_bucket = frame_bucket
         self.max_active_paths = max_active_paths
-        self._extractor = FbankExtractor(bundle.frontend_cfg)
         self._decode_fn = self._build_decode_fn()
 
     # -- public API ---------------------------------------------------------

@@ -1,0 +1,145 @@
+"""Round-trip import tests for the conformer and LSTM encoder weight maps
+(same style as test_zipformer2_import: synthesize an icefall-style export
+from a known pytree, import, require identical forwards)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from k2transducerasr_tpu.convert.family_maps import map_conformer_weights, map_lstm_weights
+from k2transducerasr_tpu.models import conformer, lstm
+
+CONF = conformer.ConformerConfig(
+    feature_dim=80, d_model=32, num_layers=2, num_heads=4, ff_dim=48, cnn_kernel=7
+)
+LSTM = lstm.LstmConfig(
+    feature_dim=80, d_model=32, rnn_hidden_size=48, num_layers=2, ff_dim=64, chunk_size=4
+)
+
+
+def _lin(w):
+    return np.asarray(w).T
+
+
+def _conv2d(w):
+    return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+
+def _conv1d(w):
+    return np.transpose(np.asarray(w), (2, 1, 0))
+
+
+def _export_conformer(p):
+    w = {}
+    for i, name in zip((0, 2), ("conv1", "conv2")):
+        w[f"encoder_embed.conv.{i}.weight"] = _conv2d(p["subsample"][name]["w"])
+        w[f"encoder_embed.conv.{i}.bias"] = np.asarray(p["subsample"][name]["b"])
+    w["encoder_embed.out.weight"] = _lin(p["subsample"]["out"]["w"])
+    w["encoder_embed.out.bias"] = np.asarray(p["subsample"]["out"]["b"])
+    for l, layer in enumerate(p["layers"]):
+        b = f"encoder.layers.{l}."
+        qkv_w = np.concatenate(
+            [_lin(layer["attn"][n]["w"]) for n in ("q", "k", "v")], axis=0
+        )
+        qkv_b = np.concatenate([np.asarray(layer["attn"][n]["b"]) for n in ("q", "k", "v")])
+        w[b + "self_attn.in_proj_weight"] = qkv_w
+        w[b + "self_attn.in_proj_bias"] = qkv_b
+        w[b + "self_attn.linear_pos.weight"] = _lin(layer["attn"]["pos"]["w"])
+        w[b + "self_attn.pos_bias_u"] = np.asarray(layer["attn"]["u"])
+        w[b + "self_attn.pos_bias_v"] = np.asarray(layer["attn"]["v_bias"])
+        w[b + "self_attn.out_proj.weight"] = _lin(layer["attn"]["out"]["w"])
+        w[b + "self_attn.out_proj.bias"] = np.asarray(layer["attn"]["out"]["b"])
+        for mod, tgt in (("feed_forward_macaron", "ff1"), ("feed_forward", "ff2")):
+            w[b + f"{mod}.0.weight"] = _lin(layer[tgt]["w1"]["w"])
+            w[b + f"{mod}.0.bias"] = np.asarray(layer[tgt]["w1"]["b"])
+            w[b + f"{mod}.3.weight"] = _lin(layer[tgt]["w2"]["w"])
+            w[b + f"{mod}.3.bias"] = np.asarray(layer[tgt]["w2"]["b"])
+        for norm, tgt in (
+            ("norm_ff_macaron", ("ff1", "ln")),
+            ("norm_mha", ("attn", "ln")),
+            ("norm_conv", ("conv", "ln")),
+            ("norm_ff", ("ff2", "ln")),
+            ("norm_final", ("norm_final",)),
+        ):
+            node = layer
+            for t in tgt:
+                node = node[t]
+            w[b + f"{norm}.weight"] = np.asarray(node["scale"])
+            w[b + f"{norm}.bias"] = np.asarray(node["bias"])
+        w[b + "conv_module.pointwise_conv1.weight"] = _conv1d(layer["conv"]["pw1"]["w"])
+        w[b + "conv_module.pointwise_conv1.bias"] = np.asarray(layer["conv"]["pw1"]["b"])
+        w[b + "conv_module.pointwise_conv2.weight"] = _conv1d(layer["conv"]["pw2"]["w"])
+        w[b + "conv_module.pointwise_conv2.bias"] = np.asarray(layer["conv"]["pw2"]["b"])
+        w[b + "conv_module.depthwise_conv.weight"] = _conv1d(layer["conv"]["dw"]["w"])
+        w[b + "conv_module.depthwise_conv.bias"] = np.asarray(layer["conv"]["dw"]["b"])
+        # batch norm with running stats; the map must fold them
+        rng = np.random.default_rng(100 + l)
+        gamma = 1.0 + 0.1 * rng.standard_normal(32).astype(np.float32)
+        beta = 0.1 * rng.standard_normal(32).astype(np.float32)
+        mean = 0.1 * rng.standard_normal(32).astype(np.float32)
+        var = (1.0 + 0.1 * rng.standard_normal(32)).astype(np.float32) ** 2
+        w[b + "conv_module.batch_norm.weight"] = gamma
+        w[b + "conv_module.batch_norm.bias"] = beta
+        w[b + "conv_module.batch_norm.running_mean"] = mean
+        w[b + "conv_module.batch_norm.running_var"] = var
+        w[b + "conv_module.batch_norm.num_batches_tracked"] = np.int64(1000)
+    return w
+
+
+def test_conformer_roundtrip():
+    src = jax.tree.map(np.asarray, conformer.init_params(jax.random.PRNGKey(1), CONF))
+    export = _export_conformer(src)
+    got, mapped, unmapped = map_conformer_weights(CONF, export)
+    assert unmapped == [], unmapped
+
+    # fold the synthetic BN stats into the source for comparison
+    for l, layer in enumerate(src["layers"]):
+        gamma = export[f"encoder.layers.{l}.conv_module.batch_norm.weight"]
+        beta = export[f"encoder.layers.{l}.conv_module.batch_norm.bias"]
+        mean = export[f"encoder.layers.{l}.conv_module.batch_norm.running_mean"]
+        var = export[f"encoder.layers.{l}.conv_module.batch_norm.running_var"]
+        scale = gamma / np.sqrt(var + 1e-5)
+        layer["conv"]["bn"]["scale"] = scale
+        layer["conv"]["bn"]["bias"] = beta - mean * scale
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 59, 80)) * 0.5
+    lens = jnp.array([59, 43])
+    out_src, _ = conformer.forward(src, CONF, x, lens)
+    out_got, _ = conformer.forward(got, CONF, x, lens)
+    np.testing.assert_allclose(np.asarray(out_src), np.asarray(out_got), rtol=1e-5, atol=1e-5)
+
+
+def _export_lstm(p):
+    w = {}
+    for i, name in zip((0, 2), ("conv1", "conv2")):
+        w[f"encoder_embed.conv.{i}.weight"] = _conv2d(p["subsample"][name]["w"])
+        w[f"encoder_embed.conv.{i}.bias"] = np.asarray(p["subsample"][name]["b"])
+    w["encoder_embed.out.weight"] = _lin(p["subsample"]["out"]["w"])
+    w["encoder_embed.out.bias"] = np.asarray(p["subsample"]["out"]["b"])
+    for l, layer in enumerate(p["layers"]):
+        b = f"encoder.layers.{l}."
+        w[b + "lstm.weight_ih_l0"] = _lin(layer["lstm"]["wx"])
+        w[b + "lstm.weight_hh_l0"] = _lin(layer["lstm"]["wh"])
+        w[b + "lstm.weight_hr_l0"] = _lin(layer["lstm"]["wp"])
+        full_b = np.asarray(layer["lstm"]["b"])
+        w[b + "lstm.bias_ih_l0"] = full_b * 0.25
+        w[b + "lstm.bias_hh_l0"] = full_b * 0.75  # map must SUM both
+        w[b + "feed_forward.0.weight"] = _lin(layer["ff"]["w1"]["w"])
+        w[b + "feed_forward.0.bias"] = np.asarray(layer["ff"]["w1"]["b"])
+        w[b + "feed_forward.3.weight"] = _lin(layer["ff"]["w2"]["w"])
+        w[b + "feed_forward.3.bias"] = np.asarray(layer["ff"]["w2"]["b"])
+        w[b + "norm_final.weight"] = np.asarray(layer["norm_final"]["scale"])
+        w[b + "norm_final.bias"] = np.asarray(layer["norm_final"]["bias"])
+    return w
+
+
+def test_lstm_roundtrip():
+    src = jax.tree.map(np.asarray, lstm.init_params(jax.random.PRNGKey(3), LSTM))
+    export = _export_lstm(src)
+    got, mapped, unmapped = map_lstm_weights(LSTM, export)
+    assert unmapped == [], unmapped
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 51, 80)) * 0.5
+    lens = jnp.array([51, 51])
+    out_src, _ = lstm.forward(src, LSTM, x, lens)
+    out_got, _ = lstm.forward(got, LSTM, x, lens)
+    np.testing.assert_allclose(np.asarray(out_src), np.asarray(out_got), rtol=1e-5, atol=1e-5)
