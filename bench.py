@@ -46,6 +46,54 @@ def synth_pcm(n, seed):
     ).astype(np.float32)
 
 
+def _calibrate_blank_bias(bundle, cfg, blank_frac=0.85):
+    """Give the random-weight model realistic emission statistics.
+
+    Trained RNN-T models emit blank on ~85-90%% of frames (a 30 s utterance
+    yields ~100 BPE tokens over ~750 output frames); untrained random weights
+    emit blank on ~1/vocab of frames, i.e. a token nearly EVERY frame — an
+    unrepresentative worst case that overweights the decoder/joiner loop and
+    underweights the encoder relative to any production model.  Calibrate by
+    raising the joiner's blank output bias to the ``blank_frac`` quantile of
+    the (max-over-nonblank − blank) logit gap measured on this bench's own
+    audio with the initial decoder state.  Pure bias change — same program,
+    same shapes, only the params pytree differs."""
+    import jax
+    import jax.numpy as jnp
+
+    from k2transducerasr_tpu.decode import rnnt_greedy
+    from k2transducerasr_tpu.frontend.fbank import fbank_compute, num_frames_jnp
+    from k2transducerasr_tpu.models import joiner as joiner_mod
+
+    fcfg = bundle.frontend_cfg
+    n = int(16000 * 4.0)
+    pcm = jnp.asarray(np.stack([synth_pcm(n, 1000 + i) for i in range(4)]))
+
+    @jax.jit
+    def probe(params):
+        t_pad = (n - fcfg.frame_length) // fcfg.frame_shift + 1
+        lens = jnp.full((pcm.shape[0],), n, jnp.int32)
+        feats = fbank_compute(pcm, fcfg, t_pad, n_valid=lens)
+        enc_out, _ = bundle.encoder.forward(
+            params["encoder"], bundle.encoder_cfg, feats,
+            num_frames_jnp(lens, fcfg), jnp.bfloat16,
+        )
+        enc_proj = joiner_mod.project_encoder(params["joiner"], enc_out, jnp.bfloat16)
+        st = rnnt_greedy.init_state(
+            params["decoder"], bundle.decoder_cfg, params["joiner"], pcm.shape[0]
+        )
+        logits = joiner_mod.joint_logits(
+            params["joiner"], enc_proj, st.dec_proj[:, None, :], jnp.bfloat16
+        ).astype(jnp.float32)
+        gap = jnp.max(logits[..., 1:], axis=-1) - logits[..., 0]
+        return jnp.quantile(gap.reshape(-1), blank_frac)
+
+    bias = float(jax.device_get(probe(bundle.params)))
+    b = bundle.params["joiner"]["output"]["b"]
+    bundle.params["joiner"]["output"]["b"] = b.at[0].add(bias + 1e-3)
+    log(f"blank-bias calibration: +{bias:.3f} (target {blank_frac:.0%} blank frames)")
+
+
 def main():
     from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config
     from k2transducerasr_tpu.runtime.bundle import ModelBundle
@@ -57,6 +105,7 @@ def main():
     batch = 16
     cfg = Zipformer2Config()  # icefall-default medium zipformer2 (~16 layers)
     bundle = ModelBundle.random("zipformer2", cfg, vocab_size=500, seed=0)
+    _calibrate_blank_bias(bundle, cfg)
     rec = OfflineRecognizer(bundle)  # bf16 compute
 
     n = int(16000 * utt_seconds)
@@ -67,8 +116,10 @@ def main():
         streams.append(s)
 
     t0 = time.time()
-    rec.get_results(streams)
+    res = rec.get_results(streams)
     log(f"warmup (incl compile): {time.time() - t0:.1f}s")
+    toks = sum(len(r.tokens) for r in res) / len(res)
+    log(f"emissions: {toks:.0f} tokens/utt ({toks / utt_seconds:.1f}/audio-s)")
 
     times = []
     for _ in range(3):

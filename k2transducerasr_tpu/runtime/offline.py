@@ -221,7 +221,7 @@ class OfflineRecognizer:
                 params["decoder"], dec_cfg, params["joiner"], samples.shape[0],
                 max_tokens, compute_dtype,
             )
-            final = rnnt_greedy.greedy_frames(
+            final = rnnt_greedy.greedy_frames_skip(
                 params["decoder"], dec_cfg, params["joiner"], state,
                 enc_proj, enc_lens,
                 jnp.zeros((samples.shape[0],), jnp.int32),

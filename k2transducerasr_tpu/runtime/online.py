@@ -400,7 +400,7 @@ class OnlineRecognizer:
                 enc_proj = joiner_mod.project_encoder(
                     params["joiner"], enc_out, compute_dtype
                 )
-                new_dec = rnnt_greedy.greedy_frames(
+                new_dec = rnnt_greedy.greedy_frames_skip(
                     params["decoder"], dec_cfg, params["joiner"], dec_state,
                     enc_proj, lens, frame_count,
                     True,  # online also skips <sos/eos>=1 (OnlineRecognizer.cs:181)

@@ -119,3 +119,59 @@ def test_ctc_trailing_blanks():
     state = ctc_greedy.init_state(1)
     s = ctc_greedy.ctc_frames(state, lp, jnp.array([4]), jnp.array([0]))
     assert int(s.trailing_blanks[0]) == 3
+
+
+# -- blank-skipping greedy (while_loop) vs per-frame scan oracle -------------
+
+
+def _state_eq(a, b):
+    for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_greedy_skip_matches_scan_whole_utterance():
+    dp, dcfg, jp, jcfg = _toy_models(seed=3)
+    for seed in range(4):
+        enc = jax.random.normal(jax.random.PRNGKey(seed), (4, 37, 16))
+        lens = jnp.array([37, 20, 1, 0])
+        proj = joiner.project_encoder(jp, enc)
+        off = jnp.array([0, 5, 0, 100])
+        for skip_sos in (False, True):
+            s0 = rnnt_greedy.init_state(dp, dcfg, jp, 4, max_tokens=64)
+            ref = rnnt_greedy.greedy_frames(dp, dcfg, jp, s0, proj, lens, off, skip_sos)
+            got = rnnt_greedy.greedy_frames_skip(dp, dcfg, jp, s0, proj, lens, off, skip_sos)
+            _state_eq(ref, got)
+
+
+def test_greedy_skip_matches_scan_chunked():
+    """Streaming: carrying state across chunks gives identical results for
+    both implementations (incl. hyp/dec_proj/trailing_blanks carry)."""
+    dp, dcfg, jp, jcfg = _toy_models(seed=11)
+    enc = jax.random.normal(jax.random.PRNGKey(9), (3, 32, 16))
+    proj = joiner.project_encoder(jp, enc)
+    s_ref = rnnt_greedy.init_state(dp, dcfg, jp, 3, max_tokens=64)
+    s_got = rnnt_greedy.init_state(dp, dcfg, jp, 3, max_tokens=64)
+    chunk = 8
+    for c in range(4):
+        sl = proj[:, c * chunk : (c + 1) * chunk]
+        # ragged valid lengths per chunk (lane 2 goes inactive mid-stream)
+        lens = jnp.array([chunk, chunk, chunk if c < 2 else 0])
+        off = jnp.full((3,), c * chunk, jnp.int32)
+        s_ref = rnnt_greedy.greedy_frames(dp, dcfg, jp, s_ref, sl, lens, off, True)
+        s_got = rnnt_greedy.greedy_frames_skip(dp, dcfg, jp, s_got, sl, lens, off, True)
+        _state_eq(s_ref, s_got)
+
+
+def test_greedy_skip_token_buffer_overflow():
+    """When a lane's token buffer fills, both impls stop emitting and count
+    the rest of the frames as trailing blanks."""
+    dp, dcfg, jp, jcfg = _toy_models(seed=5)
+    enc = jax.random.normal(jax.random.PRNGKey(4), (2, 40, 16)) * 3.0
+    proj = joiner.project_encoder(jp, enc)
+    lens = jnp.array([40, 33])
+    off = jnp.zeros((2,), jnp.int32)
+    s0 = rnnt_greedy.init_state(dp, dcfg, jp, 2, max_tokens=3)
+    ref = rnnt_greedy.greedy_frames(dp, dcfg, jp, s0, proj, lens, off, False)
+    got = rnnt_greedy.greedy_frames_skip(dp, dcfg, jp, s0, proj, lens, off, False)
+    _state_eq(ref, got)
+    assert int(np.asarray(ref.count).max()) <= 3
