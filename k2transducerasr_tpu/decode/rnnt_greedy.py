@@ -2,11 +2,14 @@
 
 Replaces the reference's host loop (``OfflineRecognizer.cs:127-179`` /
 ``OnlineRecognizer.cs:141-202``): per frame it paid a joiner ONNX session
-dispatch plus an O(V) scalar argmax on the host.  Here the ENTIRE token loop
-is one ``lax.scan`` over frames inside jit — per step: a [B,J]x[J,V] matmul
-(MXU), a vectorized argmax, a masked decoder re-evaluation, and masked
-scatters into fixed-shape token/timestamp buffers.  Only final buffers reach
-the host.
+dispatch plus an O(V) scalar argmax on the host.  The production path is
+``greedy_frames_skip``: a blank-skipping ``lax.while_loop`` whose trip count
+scales with emitted tokens, not frames — each trip evaluates the joiner over
+a bounded window of frames as one MXU-shaped matmul, finds each lane's first
+non-blank argmax, emits there, and refreshes the decoder.  ``greedy_frames``
+(one ``lax.scan`` step per frame) survives as the reference/oracle
+implementation the skip variant is tested against.  Only final token buffers
+reach the host.
 
 Semantics parity (SURVEY.md §5 contract):
   * blank=0, sos/eos=1, unk=2; offline emission skips {blank, unk}
@@ -136,25 +139,32 @@ def greedy_frames_skip(
     frame_offset,  # [B]
     extra_skip_sos: bool = False,
     compute_dtype=None,
+    window: int = 64,
 ) -> GreedyState:
     """Blank-skipping greedy decode — identical results to ``greedy_frames``
     in ~#emitted-tokens sequential steps instead of T.
 
     Key fact: with max_sym_per_frame=1 the decoder state only changes on an
-    emission, so between emissions the per-frame argmax is computable for ALL
-    remaining frames at once as one [B*T, J] x [J, V] MXU matmul.  Frames up
-    to the first non-blank argmax are final (their decoder input was the
-    current hyp); the loop emits there, refreshes the decoder, and re-scans.
-    For 30 s utterances that turns a 750-step ``lax.scan`` of tiny matmuls
-    (latency-bound on TPU) into ~#tokens (~100) well-shaped ones.  Each lane
-    advances independently; the ``lax.while_loop`` runs until every lane has
-    consumed its frames, i.e. max-over-lanes(#tokens)+1 trips.
+    emission, so between emissions the per-frame argmax is computable for a
+    whole window of frames at once as one [B*W, J] x [J, V] MXU matmul.
+    Frames up to the first non-blank argmax are final (their decoder input
+    was the current hyp); the loop emits there, refreshes the decoder, and
+    re-scans from the emission point.  For 30 s utterances that turns a
+    750-step ``lax.scan`` of tiny matmuls (latency-bound on TPU) into
+    ~#tokens well-shaped ones.
+
+    The per-trip re-scan is bounded to ``window`` frames starting at each
+    lane's own pointer (per-lane ``dynamic_slice``), so worst-case cost on
+    high-emission input stays O((#tokens + T/W) * B*W*V) instead of the
+    unbounded O(#tokens * B*T*V): a lane with no candidate inside its window
+    consumes the whole window as blanks and the loop continues.  Trip count
+    is max-over-lanes(#tokens + ceil(T/W)).
     """
     b, t_max, _ = enc_proj.shape
     max_tokens = state.tokens.shape[1]
     blank, unk = dec_cfg.blank_id, 2
     lane = jnp.arange(b)
-    tt = jnp.arange(t_max)
+    w = min(t_max, window)
 
     def cond(carry):
         _, t_ptr = carry
@@ -162,19 +172,25 @@ def greedy_frames_skip(
 
     def body(carry):
         st, t_ptr = carry
+        start = jnp.clip(t_ptr, 0, t_max - w)  # [B] window start per lane
+        win = jax.vmap(
+            lambda e, s: jax.lax.dynamic_slice_in_dim(e, s, w, axis=0)
+        )(enc_proj, start)  # [B, W, J]
         logits = joiner_mod.joint_logits(
-            join_params, enc_proj, st.dec_proj[:, None, :], compute_dtype
-        )  # [B, T, V]
-        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, T]
+            join_params, win, st.dec_proj[:, None, :], compute_dtype
+        )  # [B, W, V]
+        y = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, W]
         blankish = (y == blank) | (y == unk)
         if extra_skip_sos:
             blankish = blankish | (y == 1)
         active = t_ptr < enc_lens
-        cand = (~blankish) & (tt[None, :] >= t_ptr[:, None]) & (tt[None, :] < enc_lens[:, None])
+        abs_t = start[:, None] + jnp.arange(w)[None, :]  # [B, W]
+        cand = (~blankish) & (abs_t >= t_ptr[:, None]) & (abs_t < enc_lens[:, None])
         has = jnp.any(cand, axis=1)
-        first = jnp.argmax(cand, axis=1).astype(jnp.int32)  # 0 when no candidate
+        first_rel = jnp.argmax(cand, axis=1).astype(jnp.int32)  # 0 when none
+        first = start + first_rel  # absolute frame of first candidate
         emit = has & active & (st.count < max_tokens)
-        y_emit = y[lane, first]
+        y_emit = y[lane, first_rel]
 
         new_hyp = jnp.concatenate([st.hyp[:, 1:], y_emit[:, None]], axis=1)
         hyp = jnp.where(emit[:, None], new_hyp, st.hyp)
@@ -188,15 +204,18 @@ def greedy_frames_skip(
         tokens = st.tokens.at[lane, pos].set(tok_val)
         timestamps = st.timestamps.at[lane, pos].set(ts_val)
         count = st.count + emit.astype(jnp.int32)
-        # emission resets the blank run; a lane with no (emittable) candidate
-        # consumes all its remaining frames as blanks (matches the scan: a
-        # full token buffer also counts non-blank frames as trailing blanks)
+        # frames fully scanned this trip end at the window edge (or the
+        # lane's length); a candidate blocked by a full token buffer is
+        # consumed as a blank too (matches the scan)
+        scanned_to = jnp.minimum(start + w, enc_lens)
+        t_new = jnp.where(active, jnp.where(emit, first + 1, scanned_to), t_ptr)
+        # emission resets the blank run; otherwise every frame consumed this
+        # trip was (or counts as) a blank
         trailing = jnp.where(
             active,
-            jnp.where(emit, 0, st.trailing_blanks + (enc_lens - t_ptr)),
+            jnp.where(emit, 0, st.trailing_blanks + (scanned_to - t_ptr)),
             st.trailing_blanks,
         )
-        t_new = jnp.where(active, jnp.where(emit, first + 1, enc_lens), t_ptr)
         return (
             GreedyState(hyp, dec_proj, tokens, timestamps, count, trailing),
             t_new,

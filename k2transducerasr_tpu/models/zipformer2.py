@@ -25,7 +25,9 @@ Architecture (icefall zipformer.py semantics):
 Streaming == offline-chunked is exact BY CONSTRUCTION here: the offline
 causal path applies the same per-chunk conv windows (left cache + right
 zero-pad) and chunk-causal attention masks the streaming path uses; the
-test oracle asserts bitwise-level agreement (tests/test_zipformer2.py).
+test oracle asserts agreement to f32 accumulation tolerance (rtol/atol
+3e-3, tests/test_zipformer2.py — the two paths schedule reductions
+differently, so bitwise equality is not expected).
 
 NOTE on weight import: the compact relative positional encoding here follows
 the icefall *shape* (sign-preserving log compression + sin/cos over pos_dim)

@@ -162,6 +162,24 @@ def test_greedy_skip_matches_scan_chunked():
         _state_eq(s_ref, s_got)
 
 
+def test_greedy_skip_matches_scan_small_windows():
+    """The bounded re-scan window must not change results — including
+    windows smaller than the blank gaps (forcing no-candidate trips) and
+    window=1 (degenerate frame-at-a-time)."""
+    dp, dcfg, jp, jcfg = _toy_models(seed=13)
+    enc = jax.random.normal(jax.random.PRNGKey(21), (3, 41, 16))
+    proj = joiner.project_encoder(jp, enc)
+    lens = jnp.array([41, 17, 0])
+    off = jnp.array([0, 3, 0])
+    s0 = rnnt_greedy.init_state(dp, dcfg, jp, 3, max_tokens=64)
+    ref = rnnt_greedy.greedy_frames(dp, dcfg, jp, s0, proj, lens, off, False)
+    for w in (1, 2, 7, 41, 500):
+        got = rnnt_greedy.greedy_frames_skip(
+            dp, dcfg, jp, s0, proj, lens, off, False, window=w
+        )
+        _state_eq(ref, got)
+
+
 def test_greedy_skip_token_buffer_overflow():
     """When a lane's token buffer fills, both impls stop emitting and count
     the rest of the frames as trailing blanks."""
