@@ -209,6 +209,40 @@ def import_joiner(model: onnx_proto.OnnxModel, encoder_dim=None, decoder_dim=Non
     return params, cfg
 
 
+def import_ctc_head(weights: dict[str, np.ndarray]):
+    """Extract the CTC classifier from a fused zipformer2-CTC export.
+
+    The reference treats the fused model as a black box whose output[0] is
+    log-probs [B,T,V] (``OfflineProjOfZipformer2ctc.cs:48-92``).  Inside the
+    graph that head is icefall's ``ctc_output`` Sequential(Dropout, Linear,
+    LogSoftmax) — its single Linear is serialized as
+    ``ctc_output.1.{weight,bias}`` (index varies by export wrapper, so any
+    ``ctc_output[.N].weight`` suffix is accepted).
+
+    Returns (params, vocab_size, used_names).
+    """
+    import re
+
+    w_name = b_name = None
+    for k in weights:
+        if re.search(r"ctc_output\.(?:\d+\.)?weight$", k):
+            w_name = k
+        elif re.search(r"ctc_output\.(?:\d+\.)?bias$", k):
+            b_name = k
+    if w_name is None:
+        raise KeyError(
+            "fused CTC export has no ctc_output.*.weight initializer "
+            f"(among {len(weights)}: {sorted(weights)[:8]} ...)"
+        )
+    w = weights[w_name]
+    params = {"output": {"w": linear_w(w).astype(np.float32)}}
+    used = [w_name]
+    if b_name is not None:
+        params["output"]["b"] = weights[b_name].astype(np.float32)
+        used.append(b_name)
+    return params, int(w.shape[0]), used
+
+
 def _find(weights: dict[str, np.ndarray], names: list[str], required: bool = True):
     for n in names:
         if n in weights:
@@ -276,15 +310,23 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
 
     report: list[str] = []
     enc_params = None
+    ctc_params = ctc_vocab = None
+    deq = enc_model.dequantized()
     if model_type in ("zipformer2", "zipformer2ctc"):
         from k2transducerasr_tpu.convert.zipformer2_map import (
             infer_config_refinements,
             map_zipformer2_weights,
         )
 
-        deq = enc_model.dequantized()
         enc_cfg = infer_config_refinements(enc_cfg, deq)
         enc_params, mapped, unmapped = map_zipformer2_weights(enc_cfg, deq)
+        if model_type.endswith("ctc"):
+            # the fused export carries the classifier head alongside the
+            # encoder — pull it out and count its names as mapped
+            ctc_params, ctc_vocab, used = import_ctc_head(deq)
+            mapped.extend(used)
+            unmapped = [n for n in unmapped if n not in used]
+            report.append(f"ctc head: imported {used} (vocab {ctc_vocab})")
         report.append(
             f"encoder: mapped {len(mapped)}/{len(mapped) + len(unmapped)} "
             f"initializers from {os.path.basename(enc_path)}"
@@ -295,9 +337,7 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
     elif model_type == "zipformer":
         from k2transducerasr_tpu.convert.zipformer1_map import map_zipformer1_weights
 
-        enc_params, mapped, unmapped = map_zipformer1_weights(
-            enc_cfg, enc_model.dequantized()
-        )
+        enc_params, mapped, unmapped = map_zipformer1_weights(enc_cfg, deq)
         report.append(
             f"encoder: mapped {len(mapped)}/{len(mapped) + len(unmapped)} "
             f"initializers from {os.path.basename(enc_path)}"
@@ -313,7 +353,6 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
             map_lstm_weights,
         )
 
-        deq = enc_model.dequantized()
         if model_type == "conformer":
             enc_cfg = infer_conformer_refinements(enc_cfg, deq)
             fn = map_conformer_weights
@@ -340,8 +379,10 @@ def convert_model_dir(src_dir: str, dst_dir: str) -> None:
     from k2transducerasr_tpu.text.symbol_table import SymbolTable
 
     if model_type.endswith("ctc"):
-        bundle = ModelBundle.random(model_type, enc_cfg, vocab_size=int(
-            metadata.get("vocab_size", 500)))
+        vocab = ctc_vocab or int(metadata.get("vocab_size", 500))
+        bundle = ModelBundle.random(model_type, enc_cfg, vocab_size=vocab)
+        if ctc_params is not None:
+            bundle.params["ctc"] = ctc_params
     else:
         dec_params, dec_cfg = import_decoder(onnx_proto.load(dec_path))
         join_params, join_cfg = import_joiner(onnx_proto.load(join_path))

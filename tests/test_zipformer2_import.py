@@ -128,6 +128,78 @@ def test_unmapped_names_are_reported():
     assert unmapped == ["encoder.some_unknown.weight"]
 
 
+def test_fused_ctc_export_roundtrip(tmp_path):
+    """Full convert_model_dir round-trip of a fused zipformer2-CTC export:
+    the CTC head weights must be IMPORTED (not random) and the converted
+    model's log-probs must equal the source model's exactly.  Guards the
+    reference's zipformer2ctc family (OfflineProjOfZipformer2ctc.cs:48-92:
+    fused graph, output[0] = log-probs)."""
+    from test_onnx_import import model_bytes, tensor_bytes
+
+    from k2transducerasr_tpu.convert.importer import convert_model_dir
+    from k2transducerasr_tpu.models import ctc as ctc_mod
+    from k2transducerasr_tpu.runtime.bundle import ModelBundle
+
+    vocab = 12
+    src = jax.tree.map(np.asarray, zipformer2.init_params(jax.random.PRNGKey(11), TINY))
+    ctc_cfg = ctc_mod.CtcConfig(encoder_dim=TINY.encoder_out_dim, vocab_size=vocab)
+    ctc_src = jax.tree.map(
+        np.asarray, ctc_mod.init_params(jax.random.PRNGKey(12), ctc_cfg)
+    )
+
+    export = _export(src, TINY)
+    # icefall AsrModel.ctc_output = Sequential(Dropout, Linear, LogSoftmax)
+    export["ctc_output.1.weight"] = _lin(ctc_src["output"]["w"])
+    export["ctc_output.1.bias"] = np.asarray(ctc_src["output"]["b"])
+
+    meta = {
+        "model_type": "zipformer2",
+        "comment": "streaming ctc zipformer2",  # triggers zipformer2ctc rewrite
+        "vocab_size": str(vocab),
+        "num_encoder_layers": "1,1",
+        "encoder_dims": "16,24",
+        "cnn_module_kernels": "7,7",
+        "num_heads": "2,2",
+        "query_head_dims": "4,4",
+        "value_head_dims": "4,4",
+    }
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tensors = [tensor_bytes(k, np.ascontiguousarray(v, np.float32)) for k, v in export.items()]
+    (src_dir / "model.onnx").write_bytes(model_bytes(meta, tensors))
+    with open(src_dir / "tokens.txt", "w") as f:
+        for i in range(vocab):
+            f.write(f"tok{i} {i}\n")
+
+    dst = tmp_path / "dst"
+    convert_model_dir(str(src_dir), str(dst))
+
+    report = (dst / "IMPORT_REPORT.txt").read_text()
+    assert "UNMAPPED" not in report, report
+    assert "ctc head: imported" in report
+
+    bundle = ModelBundle.from_dir(str(dst))
+    assert bundle.model_type == "zipformer2ctc"
+    assert bundle.ctc_cfg.vocab_size == vocab
+
+    x = jax.random.normal(jax.random.PRNGKey(13), (2, 55, 80)) * 0.5
+    lens = jnp.array([55, 40])
+    enc_src, _ = zipformer2.forward(src, TINY, x, lens)
+    enc_got, _ = zipformer2.forward(bundle.params["encoder"], bundle.encoder_cfg, x, lens)
+    lp_src = ctc_mod.log_probs(ctc_src, enc_src)
+    lp_got = ctc_mod.log_probs(bundle.params["ctc"], enc_got)
+    np.testing.assert_allclose(np.asarray(lp_src), np.asarray(lp_got), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_ctc_export_missing_head_raises():
+    from k2transducerasr_tpu.convert.importer import import_ctc_head
+
+    import pytest
+
+    with pytest.raises(KeyError, match="ctc_output"):
+        import_ctc_head({"encoder.something.weight": np.zeros((2, 2), np.float32)})
+
+
 def test_shape_mismatch_raises():
     src = jax.tree.map(np.asarray, zipformer2.init_params(jax.random.PRNGKey(10), TINY))
     export = _export(src, TINY)
