@@ -224,14 +224,44 @@ def map_zipformer2_weights(
             )
             return True
         if inner in ("conv_module1.depthwise_conv", "conv_module2.depthwise_conv"):
+            # offline (non-causal) export: plain depthwise nn.Conv1d
             which = "conv1" if inner.startswith("conv_module1") else "conv2"
             if kind == "weight":
                 _set(params, ["stacks", s, "layers", l, which, "dw", "w"], conv1d_w(v))
             else:
                 _set(params, ["stacks", s, "layers", l, which, "dw", "b"], v)
             return True
+        cc = re.fullmatch(
+            r"conv_module(1|2)\.depthwise_conv\.(causal_conv|chunkwise_conv)", inner
+        )
+        if cc:
+            # streaming export: ChunkCausalDepthwiseConv1d's two convs
+            which = "conv1" if cc.group(1) == "1" else "conv2"
+            tgt = "causal_dw" if cc.group(2) == "causal_conv" else "chunk_dw"
+            key = "w" if kind == "weight" else "b"
+            _set(
+                params,
+                ["stacks", s, "layers", l, which, tgt, key],
+                conv1d_w(v) if kind == "weight" else v,
+            )
+            return True
         del layer
         return False
+
+    @rule(
+        r"encoder\.encoders\.(\d+)\.(?:encoder\.)?layers\.(\d+)\."
+        r"conv_module(1|2)\.depthwise_conv\.chunkwise_conv_scale$"
+    )
+    def _chunk_scale(m, v):
+        # torch [2, C, k] -> [2, k, D]
+        s, l = int(m.group(1)), int(m.group(2))
+        which = "conv1" if m.group(3) == "1" else "conv2"
+        _set(
+            params,
+            ["stacks", s, "layers", l, which, "chunk_scale"],
+            np.transpose(v, (0, 2, 1)),
+        )
+        return True
 
     @rule(r"encoder\.encoders\.(\d+)\.(?:encoder\.)?layers\.(\d+)\.norm\.(bias|log_scale)$")
     def _layer_norm(m, v):

@@ -7,18 +7,26 @@ caches (``OnlineProjOfZipformer2.cs``): ``cached_key_<j> [left,B,H*qd]``,
 ``processed_lens`` (metadata keys: ``OnlineModel.cs:51-94``).  Those cache
 inventories are the structural spec this module implements natively.
 
-Architecture (icefall zipformer.py semantics):
+Architecture (pinned to icefall zipformer.py, 2023 "zipformer" recipe):
   * encoder_embed: three 3x3 convs (time stride 2 overall, freq 80 -> 19) ->
-    ConvNeXt block (depthwise 7x7) -> linear -> BiasNorm; raw receptive
-    field 9 frames + 6 causal ConvNeXt frames -> streaming windows overlap
-    19 raw frames (= the reference's ``embed_states`` width).
+    ConvNeXt block (depthwise 7x7, hidden ratio 3, SwooshL) -> linear over
+    the channel-major [C, F] flatten -> BiasNorm.  Streaming windows carry a
+    3-stage-frame ConvNeXt cache and a 3-stage-frame LOOKAHEAD inside the
+    window (icefall streaming export: T = decode_chunk_len + 13, initial
+    ``embed_states`` zeros — the reference's [B,128,3,19] tensor,
+    ``OnlineProjOfZipformer2.cs:58-62``).
   * 6 stacks at downsampling factors (1,2,4,8,4,2) with per-stack dims;
-    SimpleDownsample (learned softmax window weights) / SimpleUpsample
+    SimpleDownsample (learned softmax window weights over each window,
+    tail window padded by repeating the last frame) / SimpleUpsample
     (repeat) and a learned per-channel Bypass around each stack.
   * each layer computes attention WEIGHTS once (query/key head dim 32,
-    pos-head rel-position scores) shared by self_attn1, self_attn2 (separate
-    value/out projections) and a nonlin-attention gate; two chunk-causal
-    depthwise conv modules; three SwooshL feed-forwards; BiasNorm + Bypass.
+    pos-head scores against the compact rel-pos encoding) shared by
+    self_attn1, self_attn2 (separate value/out projections) and a
+    nonlin-attention gate (head 0 only); two conv modules — plain SAME
+    depthwise offline, ChunkCausalDepthwiseConv1d (causal half-kernel conv
+    + per-chunk SAME conv with learned edge scales) when causal; three
+    SwooshL feed-forwards; op order ff1, nonlin_attn, attn1, conv1, ff2,
+    bypass_mid, attn2, conv2, ff3, BiasNorm, bypass.
   * outputs of all stacks are channel-stitched to max(dims) then
     downsampled x2 -> final frame rate = raw/4.
 
@@ -29,10 +37,12 @@ test oracle asserts agreement to f32 accumulation tolerance (rtol/atol
 3e-3, tests/test_zipformer2.py — the two paths schedule reductions
 differently, so bitwise equality is not expected).
 
-NOTE on weight import: the compact relative positional encoding here follows
-the icefall *shape* (sign-preserving log compression + sin/cos over pos_dim)
-but the exact compression constants may differ from a given export —
-convert/importer.py is the place to pin them against a real model.
+The compact relative positional encoding is icefall's exact formula
+(CompactRelPositionalEncoding: log compression with compression_length
+sqrt(pos_dim), atan squashing with length_scale pos_dim/(2*pi), integer
+frequencies 1..pos_dim/2, interleaved cos/sin, last column pinned to 1.0),
+laid out in the descending order ops/attention.rel_shift consumes — which is
+row-for-row the tensor icefall's linear_pos is applied to.
 """
 
 from __future__ import annotations
@@ -92,19 +102,28 @@ class Zipformer2Config:
         return 2 * self.chunk_size
 
     @property
-    def embed_left_pad(self) -> int:
-        """Zero FEATURE frames implicitly preceding the stream: the causal
-        ConvNeXt needs 6 stage frames = 12 raw frames of left context, kept
-        as an embed feature cache in the streaming state (the analogue of
-        the reference's ``embed_states``)."""
-        return 12
+    def embed_cache_len(self) -> int:
+        """Stage (post-conv-stack) frames cached across streaming windows:
+        the ConvNeXt half-kernel.  icefall's ``embed_states`` (zeros at
+        stream start), the reference's [B,128,3,19]
+        (``OnlineProjOfZipformer2.cs:58-62``)."""
+        return 3
+
+    @property
+    def embed_freq_out(self) -> int:
+        """Frequency width after the conv stack (80 -> 39 -> 19)."""
+        f2 = (self.feature_dim - 3) // 2 + 1
+        return (f2 - 3) // 2 + 1
 
     @property
     def chunk_input_len(self) -> int:
-        """Fresh raw feature frames per streaming window: 2*chunk + 7 (conv
-        stack receptive field 9 minus stride 2); the 12-frame embed cache in
-        the state supplies the rest of the receptive field."""
-        return 2 * self.chunk_size + 7
+        """Raw feature frames per streaming window: 2*chunk + 13 — the conv
+        stack's receptive field 9 (stride 2) plus 2*3 raw frames so the
+        ConvNeXt's 3-stage-frame LOOKAHEAD stays inside the window; the
+        3-stage-frame cache supplies its left context.  Equals the
+        reference's metadata ``T`` (= decode_chunk_len + pad_length,
+        ``OnlineModel.cs:37-49`` — e.g. T=45 for chunk 32)."""
+        return 2 * self.chunk_size + 13
 
     def stack_chunk(self, i: int) -> int:
         return self.chunk_size // self.downsampling_factors[i]
@@ -133,52 +152,44 @@ def output_chunk_len(cfg: Zipformer2Config) -> int:
 def _init_embed(key, cfg: Zipformer2Config):
     c1, c2, c3 = cfg.embed_channels
     ks = jax.random.split(key, 6)
-    # freq path: pad1+conv3 keeps F; conv2 s=2: (F-3)//2+1; conv3 s=2 again
-    f2 = (cfg.feature_dim - 3) // 2 + 1
-    freq_out = (f2 - 3) // 2 + 1  # 80 -> 39 -> 19
     return {
         "conv1": L.init_conv2d(ks[0], 1, c1, (3, 3)),
         "conv2": L.init_conv2d(ks[1], c1, c2, (3, 3)),
         "conv3": L.init_conv2d(ks[2], c2, c3, (3, 3)),
         "convnext_dw": L.init_conv2d(ks[3], c3, c3, (7, 7)),  # depthwise via groups trick below
-        "convnext_pw1": L.init_linear(ks[4], c3, 2 * c3),
-        "convnext_pw2": L.init_linear(jax.random.fold_in(ks[4], 1), 2 * c3, c3),
-        "out": L.init_linear(ks[5], c3 * freq_out, cfg.encoder_dims[0]),
+        # icefall ConvNeXt hidden_ratio = 3
+        "convnext_pw1": L.init_linear(ks[4], c3, 3 * c3),
+        "convnext_pw2": L.init_linear(jax.random.fold_in(ks[4], 1), 3 * c3, c3),
+        "out": L.init_linear(ks[5], c3 * cfg.embed_freq_out, cfg.encoder_dims[0]),
         "out_norm": L.init_biasnorm(cfg.encoder_dims[0]),
     }
 
 
-def _embed_forward(p, cfg: Zipformer2Config, x, compute_dtype=None, prepadded=False, x_lens=None):
-    """x: [B, T, F] -> [B, (T-7)//2, dims[0]].
+def _embed_conv_stack(p, x, compute_dtype=None):
+    """Conv 3-stack: x [B, T, F] -> stage tensor [B, (T-7)//2, F', c3].
 
     Time layout: conv1 (VALID, s=1): T-2; conv2 (VALID, s=2): (T-5)//2+1;
-    conv3 (VALID, s=1): -2 => total (T-7)//2, receptive field 9, stride 2.
-    Freq (pad 1 on conv1): 80 -> 80 -> 39 -> 19.
-
-    Causal mode: the sequence is treated as preceded by ``embed_left_pad``
-    zero FEATURE frames (so chunked streaming with a zero-initialized embed
-    cache is exactly reproducible); the ConvNeXt depthwise conv then runs
-    VALID in time, consuming those 6 extra stage frames.  ``prepadded``:
-    the caller (streaming step) already supplied the left context.
-    """
-    if cfg.causal and not prepadded:
-        x = jnp.pad(x, ((0, 0), (cfg.embed_left_pad, 0), (0, 0)))
+    conv3 (VALID, s=1 time): -2 => total (T-7)//2, receptive field 9,
+    stride 2.  Freq (pad 1 on conv1): 80 -> 80 -> 39 -> 19.  SwooshR after
+    each conv (icefall Conv2dSubsampling)."""
     h = x[..., None]  # [B, T, F, 1]
     h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
     h = L.swoosh_r(L.apply_conv2d(p["conv1"], h, strides=(1, 1), compute_dtype=compute_dtype))
     h = L.swoosh_r(L.apply_conv2d(p["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
     h = L.swoosh_r(L.apply_conv2d(p["conv3"], h, strides=(1, 2), compute_dtype=compute_dtype))
-    # h: [B, T0(+6 if causal), 19, c3]
-    if x_lens is not None:
-        # zero stage frames derived from padding so they cannot bleed into
-        # valid frames through the ConvNeXt receptive field
-        stage_valid = (x_lens - 7) // 2 + (6 if cfg.causal else 0)
-        mask = L.length_mask(jnp.maximum(stage_valid, 0), h.shape[1])
-        h = jnp.where(mask[:, :, None, None], h, 0.0)
-    # ConvNeXt: depthwise 7x7, pw -> SwooshL -> pw, residual
-    residual = h if not cfg.causal else h[:, 6:]
-    pad_t = (0, 0) if cfg.causal else (3, 3)
-    hh = jnp.pad(h, ((0, 0), pad_t, (3, 3), (0, 0)))
+    return h
+
+
+def _embed_tail(p, h, compute_dtype=None):
+    """ConvNeXt (time-VALID over a pre-extended stage tensor) + out linear +
+    BiasNorm.  h: [B, T0+6, F', c3] -> [B, T0, dims[0]].
+
+    The caller supplies 3 extra stage frames on EACH side (zeros offline,
+    cache/lookahead streaming), so one code path serves both and they agree
+    exactly.  The flatten before ``out`` is channel-major [C, F] — icefall's
+    ``x.transpose(1, 2).reshape(b, t, c * f)``."""
+    residual = h[:, 3:-3]
+    hh = jnp.pad(h, ((0, 0), (0, 0), (3, 3), (0, 0)))  # freq SAME
     w = p["convnext_dw"]["w"]  # [7, 7, c3, c3] — applied depthwise (diagonal)
     dw = _depthwise2d(hh, w, p["convnext_dw"].get("b"), compute_dtype)
     hh = L.apply_linear(p["convnext_pw1"], dw, compute_dtype)
@@ -186,9 +197,23 @@ def _embed_forward(p, cfg: Zipformer2Config, x, compute_dtype=None, prepadded=Fa
     hh = L.apply_linear(p["convnext_pw2"], hh, compute_dtype)
     h = residual + hh
     b, t0, f, c = h.shape
-    h = h.reshape(b, t0, f * c)
+    h = jnp.swapaxes(h, 2, 3).reshape(b, t0, c * f)
     h = L.apply_linear(p["out"], h, compute_dtype)
     return L.apply_biasnorm(p["out_norm"], h)
+
+
+def _embed_forward(p, cfg: Zipformer2Config, x, compute_dtype=None, x_lens=None):
+    """Offline embed: x [B, T, F] -> [B, (T-7)//2, dims[0]] (ConvNeXt SAME
+    in time via 3 zero stage frames each side — icefall's padding=(3,3))."""
+    h = _embed_conv_stack(p, x, compute_dtype)
+    if x_lens is not None:
+        # zero stage frames derived from padding so they cannot bleed into
+        # valid frames through the ConvNeXt receptive field
+        stage_valid = (x_lens - 7) // 2
+        mask = L.length_mask(jnp.maximum(stage_valid, 0), h.shape[1])
+        h = jnp.where(mask[:, :, None, None], h, 0.0)
+    h = jnp.pad(h, ((0, 0), (3, 3), (0, 0), (0, 0)))
+    return _embed_tail(p, h, compute_dtype)
 
 
 def _depthwise2d(x, w, b, compute_dtype=None):
@@ -219,20 +244,34 @@ def _depthwise2d(x, w, b, compute_dtype=None):
 # ---------------------------------------------------------------------------
 
 
-def _compact_rel_pos(t_q: int, s_kv: int, pos_dim: int):
-    """[R, pos_dim] embedding of relative positions in DESCENDING order
-    (r = s_kv-1 .. -(t_q-1), the layout ops/attention.rel_shift expects),
-    using sign-preserving log compression then sin/cos."""
+def _compact_rel_pos(t_q: int, s_kv: int, pos_dim: int, length_factor: float = 1.0):
+    """[R, pos_dim] compact relative positional embedding — icefall's exact
+    CompactRelPositionalEncoding formula.
+
+    Our R axis follows DESCENDING relative positions r = s_kv-1 .. -(t_q-1)
+    (the layout ops/attention.rel_shift expects, rel = query - key); icefall
+    stores its ``pe`` by ASCENDING key-minus-query position and gathers index
+    (T-1) - t + s — the very same skew rel_shift realizes — so row j here is
+    the embedding of icefall position p_j = -r_j, making this tensor equal
+    ROW-FOR-ROW the one icefall's linear_pos consumes.
+
+    Formula (icefall zipformer.py CompactRelPositionalEncoding.extend_pe):
+    log compression with compression_length sqrt(pos_dim), atan squashing
+    with length_scale length_factor*pos_dim/(2*pi), integer frequencies
+    1..pos_dim/2, columns interleaved cos (even) / sin (odd), and the last
+    column pinned to 1.0 as a bias term.
+    """
     from k2transducerasr_tpu.ops.attention import descending_rel_positions
 
-    r = descending_rel_positions(t_q, s_kv)
+    p = -descending_rel_positions(t_q, s_kv)  # ascending -(s_kv-1)..(t_q-1)
     comp = math.sqrt(pos_dim)
-    x = comp * jnp.sign(r) * (jnp.log(jnp.abs(r) + comp) - math.log(comp))
-    freqs = jnp.exp(
-        jnp.arange(0, pos_dim, 2, dtype=jnp.float32) * (-math.log(1000.0) / pos_dim)
-    )
-    ang = x[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)  # [R, pos_dim]
+    x_compressed = comp * jnp.sign(p) * (jnp.log(jnp.abs(p) + comp) - math.log(comp))
+    length_scale = length_factor * pos_dim / (2.0 * math.pi)
+    x_atan = jnp.arctan(x_compressed / length_scale)
+    freqs = 1.0 + jnp.arange(pos_dim // 2, dtype=jnp.float32)
+    ang = x_atan[:, None] * freqs[None, :]
+    pe = jnp.stack([jnp.cos(ang), jnp.sin(ang)], axis=2).reshape(-1, pos_dim)
+    return pe.at[:, -1].set(1.0)  # [R, pos_dim]
 
 
 # ---------------------------------------------------------------------------
@@ -274,13 +313,36 @@ def _init_nonlin_attn(key, dim):
     }
 
 
-def _init_conv_mod(key, dim, kernel):
-    k1, k2, k3 = jax.random.split(key, 3)
-    return {
+def _init_conv_mod(key, dim, kernel, causal: bool):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
         "in_proj": L.init_linear(k1, dim, 2 * dim),
-        "dw": L.init_conv1d(k2, dim, dim, kernel=kernel, groups=dim),
         "out": L.init_linear(k3, dim, dim),
     }
+    if causal:
+        # icefall ChunkCausalDepthwiseConv1d: a causal depthwise conv of
+        # half width plus a within-chunk SAME depthwise conv whose output is
+        # scaled by learned per-position edge corrections
+        p["causal_dw"] = L.init_conv1d(k2, dim, dim, kernel=kernel // 2 + 1, groups=dim)
+        p["chunk_dw"] = L.init_conv1d(k4, dim, dim, kernel=kernel, groups=dim)
+        p["chunk_scale"] = jnp.zeros((2, kernel, dim))  # [left/right, k, D]
+    else:
+        p["dw"] = L.init_conv1d(k2, dim, dim, kernel=kernel, groups=dim)
+    return p
+
+
+def _chunkwise_scale(scale, chunk: int):
+    """scale [2, k, D] -> [chunk, D]: 1 + left-edge + right-edge corrections
+    (icefall ChunkCausalDepthwiseConv1d._get_chunk_scale)."""
+    left, right = scale[0], scale[1]
+    k, d = left.shape
+    if chunk < k:
+        l_e, r_e = left[:chunk], right[k - chunk :]
+    else:
+        pad = jnp.zeros((chunk - k, d), left.dtype)
+        l_e = jnp.concatenate([left, pad], axis=0)
+        r_e = jnp.concatenate([pad, right], axis=0)
+    return 1.0 + l_e + r_e
 
 
 def _init_layer(key, cfg: Zipformer2Config, si: int):
@@ -296,8 +358,8 @@ def _init_layer(key, cfg: Zipformer2Config, si: int):
         "self_attn1": _init_self_attn(ks[1], dim, heads, cfg.value_head_dim),
         "self_attn2": _init_self_attn(ks[2], dim, heads, cfg.value_head_dim),
         "nonlin_attn": _init_nonlin_attn(ks[3], dim),
-        "conv1": _init_conv_mod(ks[4], dim, kernel),
-        "conv2": _init_conv_mod(ks[5], dim, kernel),
+        "conv1": _init_conv_mod(ks[4], dim, kernel, cfg.causal),
+        "conv2": _init_conv_mod(ks[5], dim, kernel, cfg.causal),
         "ff1": _init_ff(ks[6], dim, ff),
         "ff2": _init_ff(ks[7], dim, ff),
         "ff3": _init_ff(ks[8], dim, ff),
@@ -310,13 +372,13 @@ def _init_layer(key, cfg: Zipformer2Config, si: int):
 def _init_stack(key, cfg: Zipformer2Config, si: int):
     n = cfg.num_encoder_layers[si]
     ks = jax.random.split(key, n + 2)
-    p = {
-        "layers": [_init_layer(ks[j], cfg, si) for j in range(n)],
-        "bypass_out": jnp.full((cfg.encoder_dims[si],), 0.5),
-    }
+    p = {"layers": [_init_layer(ks[j], cfg, si) for j in range(n)]}
     ds = cfg.downsampling_factors[si]
     if ds > 1:
+        # only DownsampledZipformer2Encoder has downsample + out_combiner;
+        # ds=1 stacks are bare Zipformer2Encoders in icefall
         p["downsample_weights"] = jnp.zeros((ds,))
+        p["bypass_out"] = jnp.full((cfg.encoder_dims[si],), 0.5)
     return p
 
 
@@ -418,15 +480,20 @@ def _nonlin_attention(p, dim, x, attn_w_head0, v_cached, compute_dtype):
 
 
 def _conv_module(p, dim, kernel, x, cache, chunk, compute_dtype, valid=None):
-    """zipformer2 ConvolutionModule with chunk-causal depthwise conv.
+    """zipformer2 ConvolutionModule (in_proj -> value*sigmoid(gate) ->
+    depthwise -> SwooshR -> out_proj).
 
-    Offline-causal (cache is None, chunk>0): T is split into chunks; each
-    chunk sees ``kernel//2`` frames of left context from the previous chunk
-    and zero right-padding — EXACTLY what the streaming step does, so the
-    two paths agree bit-for-bit.  Offline non-causal (chunk=0): centered
-    SAME conv.  Streaming (cache [B, k//2, D]): one chunk.
-    ``valid``: padded positions zeroed pre-conv so they can't bleed through
-    the receptive field.  Returns (out [B,T,D], new_cache or None).
+    Non-causal (chunk == 0): plain SAME depthwise conv — icefall's offline
+    nn.Conv1d branch; ``valid`` zeroes padded positions pre-conv exactly as
+    icefall's masked_fill so they can't bleed through the receptive field.
+
+    Causal: icefall's ChunkCausalDepthwiseConv1d — the sum of (a) a causal
+    depthwise conv of width kernel//2+1 over [left-context | x] and (b) a
+    SAME depthwise conv applied strictly within each chunk, scaled by
+    learned per-position edge corrections.  Offline-causal (cache is None)
+    uses zero left context and T split into chunks; streaming (cache
+    [B, k//2, D]) processes one chunk — identical computations, so the two
+    paths agree exactly.  Returns (out [B,T,D], new_cache or None).
     """
     half = kernel // 2
     h = L.apply_linear(p["in_proj"], x, compute_dtype)
@@ -436,29 +503,24 @@ def _conv_module(p, dim, kernel, x, cache, chunk, compute_dtype, valid=None):
     if valid is not None:
         h = jnp.where(valid[:, :, None], h, 0.0)
 
-    if cache is None and chunk == 0:
+    if chunk == 0:
         y = L.apply_conv1d(p["dw"], h, groups=dim, padding="SAME", compute_dtype=compute_dtype)
-        new_cache = None
-    elif cache is None:
-        b, t, d = h.shape
-        n = t // chunk
-        hc = h.reshape(b, n, chunk, d)
-        prev_tail = jnp.pad(hc[:, :-1, chunk - half :, :], ((0, 0), (1, 0), (0, 0), (0, 0)))
-        win = jnp.concatenate(
-            [prev_tail, hc, jnp.zeros((b, n, half, d), h.dtype)], axis=2
-        )  # [B, n, half+chunk+half, D]
-        y = L.apply_conv1d(
-            p["dw"], win.reshape(b * n, chunk + 2 * half, d), groups=dim,
-            padding="VALID", compute_dtype=compute_dtype,
-        ).reshape(b, n, chunk, d).reshape(b, t, d)
         new_cache = None
     else:
         b, t, d = h.shape
-        win = jnp.concatenate(
-            [cache.astype(h.dtype), h, jnp.zeros((b, half, d), h.dtype)], axis=1
-        )
-        y = L.apply_conv1d(p["dw"], win, groups=dim, padding="VALID", compute_dtype=compute_dtype)
-        new_cache = h[:, -half:, :]
+        left = cache.astype(h.dtype) if cache is not None else jnp.zeros((b, half, d), h.dtype)
+        y_causal = L.apply_conv1d(
+            p["causal_dw"], jnp.concatenate([left, h], axis=1), groups=dim,
+            padding="VALID", compute_dtype=compute_dtype,
+        )  # [B, T, D]
+        n = t // chunk
+        win = jnp.pad(h.reshape(b * n, chunk, d), ((0, 0), (half, half), (0, 0)))
+        y_chunk = L.apply_conv1d(
+            p["chunk_dw"], win, groups=dim, padding="VALID", compute_dtype=compute_dtype
+        ).reshape(b, n, chunk, d)
+        y_chunk = y_chunk * _chunkwise_scale(p["chunk_scale"], chunk)[None, None]
+        y = y_causal + y_chunk.reshape(b, t, d)
+        new_cache = h[:, -half:, :] if cache is not None else None
     y = L.swoosh_r(y)
     return L.apply_linear(p["out"], y, compute_dtype), new_cache
 
@@ -472,17 +534,28 @@ def _bypass(scale, x_orig, x):
     return x_orig + scale * (x - x_orig)
 
 
-def _simple_downsample(weights, x, ds: int):
+def _simple_downsample(weights, x, ds: int, lens=None):
     """[B, T, D] -> [B, ceil(T/ds), D]: learned softmax weights over each
-    window; partial tail window zero-padded.  (icefall repeats the last
-    frame instead — zero-padding keeps padded batches exactly consistent
-    with unpadded ones and with the streaming path; affects only the final
-    partial group.)"""
+    window; a partial tail window is padded by repeating the last frame
+    (icefall SimpleDownsample.forward).
+
+    ``lens`` (valid frame counts): when given, frames at index >= lens are
+    replaced by each lane's LAST VALID frame first.  icefall repeats the last
+    frame of the padded tensor — for the longest lane of a batch that is its
+    real last frame; shorter (padded) lanes see processed pad garbage there,
+    so icefall offline outputs are not padding-invariant.  Repeating the last
+    valid frame computes what icefall computes for an unpadded lane while
+    keeping this design's padding invariance."""
     b, t, d = x.shape
     t_out = -(-t // ds)
     pad = t_out * ds - t
+    if lens is not None:
+        last = jnp.take_along_axis(
+            x, jnp.maximum(lens - 1, 0).astype(jnp.int32)[:, None, None], axis=1
+        )  # [B, 1, D]
+        x = jnp.where(jnp.arange(t)[None, :, None] < lens[:, None, None], x, last)
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)), mode="edge")
     w = jax.nn.softmax(weights)
     return jnp.einsum("bkwd,w->bkd", x.reshape(b, t_out, ds, d), w.astype(x.dtype),
                       preferred_element_type=jnp.float32).astype(x.dtype)
@@ -561,8 +634,9 @@ def _layer_forward(
         caches["conv1"] if streaming else None, chunk, compute_dtype, valid,
     )
     x = x + c1
-    x = _bypass(p["bypass_mid"], x_orig, x)
     x = x + _apply_ff(p["ff2"], x, compute_dtype)
+    # bypass in the middle of the layer (icefall: after feed_forward2)
+    x = _bypass(p["bypass_mid"], x_orig, x)
 
     v2_chunk = L.apply_linear(p["self_attn2"]["v"], x, compute_dtype)
     if streaming:
@@ -617,7 +691,8 @@ def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
     x = _convert_channels(x, cfg.encoder_dims[si])
     src = x
     if ds > 1:
-        src = _simple_downsample(p["downsample_weights"], src, ds)
+        lens = jnp.sum(valid, axis=1) if valid is not None else None
+        src = _simple_downsample(p["downsample_weights"], src, ds, lens)
         # a downsampled frame is valid if its first source frame is valid
         v = valid[:, ::ds][:, : src.shape[1]] if valid is not None else None
     else:
@@ -636,27 +711,46 @@ def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
             src = jnp.where(v[:, :, None], src, 0.0)
     if ds > 1:
         src = _simple_upsample(src, ds, t_full)
-    return _bypass(p["bypass_out"], x, src)
+        src = _bypass(p["bypass_out"], x, src)  # out_combiner (ds>1 only)
+    return src
 
 
 def forward(params, cfg: Zipformer2Config, x, x_lens, compute_dtype=None):
-    """x: [B, T, F] raw fbank -> (enc_out [B, T', max_dim], out_lens [B])."""
-    h = _embed_forward(params["embed"], cfg, x, compute_dtype, x_lens=x_lens)
+    """x: [B, T, F] raw fbank -> (enc_out [B, T', max_dim], out_lens [B]).
+
+    Causal mode computes EXACTLY what chunked streaming over the same
+    (zero-feature-extended) input would: the embed consumes whole windows of
+    2*chunk+13 raw frames with 3-zero-stage left context, and NO lane-length
+    masking is applied inside the stacks — the streamed graph attends to
+    everything inside its windows, tail-flush frames included, so masking
+    here would break streaming == offline.  Only the final output is gated
+    by out_lens.  Non-causal mode masks padded keys in attention and zeroes
+    padded positions pre-conv, exactly as icefall's offline forward does
+    with src_key_padding_mask.
+    """
     lens0 = jnp.maximum((x_lens - 7) // 2, 0)
     if cfg.causal:
-        # chunked-causal masks and conv windows need T0 % chunk == 0
-        t0 = h.shape[1]
-        t0_pad = -(-t0 // cfg.chunk_size) * cfg.chunk_size
-        if t0_pad != t0:
-            h = jnp.pad(h, ((0, 0), (0, t0_pad - t0), (0, 0)))
-    t0 = h.shape[1]
-    valid = L.length_mask(lens0, t0)
-    h = jnp.where(valid[:, :, None], h, 0.0)
+        t_raw = x.shape[1]
+        c = cfg.chunk_size
+        t0 = max(1, (t_raw - 7) // 2)
+        kwin = -(-t0 // c)
+        t_need = 2 * c * kwin + 13
+        if t_need > t_raw:
+            x = jnp.pad(x, ((0, 0), (0, t_need - t_raw), (0, 0)))
+        stage = _embed_conv_stack(params["embed"], x, compute_dtype)
+        stage = jnp.pad(stage, ((0, 0), (3, 0), (0, 0), (0, 0)))
+        h = _embed_tail(params["embed"], stage, compute_dtype)  # [B, c*kwin, D]
+        valid = None
+    else:
+        h = _embed_forward(params["embed"], cfg, x, compute_dtype, x_lens=x_lens)
+        valid = L.length_mask(lens0, h.shape[1])
+        h = jnp.where(valid[:, :, None], h, 0.0)
 
     outputs = []
     for si in range(cfg.num_stacks):
         h = _stack_forward(params["stacks"][si], cfg, si, h, valid, compute_dtype)
-        h = jnp.where(valid[:, :, None], h, 0.0)
+        if valid is not None:
+            h = jnp.where(valid[:, :, None], h, 0.0)
         outputs.append(h)
 
     # channel stitch to max dim (icefall _get_full_dim_output)
@@ -670,7 +764,8 @@ def forward(params, cfg: Zipformer2Config, x, x_lens, compute_dtype=None):
     full = jnp.concatenate(pieces, axis=-1)
 
     out = _simple_downsample(
-        params["downsample_output_weights"], full, cfg.output_downsampling_factor
+        params["downsample_output_weights"], full, cfg.output_downsampling_factor,
+        lens0 if valid is not None else None,
     )
     out_lens = -(-lens0 // cfg.output_downsampling_factor)
     ovalid = L.length_mask(out_lens, out.shape[1])
@@ -685,9 +780,9 @@ def forward(params, cfg: Zipformer2Config, x, x_lens, compute_dtype=None):
 def init_state(cfg: Zipformer2Config, batch: int):
     """Batch-leading state pytree.  Per stack-layer caches mirror the
     reference inventory (OnlineProjOfZipformer2.cs:53-111): key/val1/val2/
-    nonlin at [B, left_i, ...], conv at [B, k//2, D]; plus a processed-frame
-    counter.  (No embed state: the runtime feeds overlapping 2*chunk+19
-    windows, subsuming the reference's embed_states.)"""
+    nonlin at [B, left_i, ...], conv at [B, k//2, D]; plus the embed stage
+    cache (the reference's ``embed_states`` [B,128,3,19] — here NHWC
+    [B, 3, F', c3], zeros at stream start) and a processed-frame counter."""
     layers = []
     for si in range(cfg.num_stacks):
         dim = cfg.encoder_dims[si]
@@ -708,25 +803,30 @@ def init_state(cfg: Zipformer2Config, batch: int):
             )
     return {
         "layers": layers,
-        "embed_feats": jnp.zeros((batch, cfg.embed_left_pad, cfg.feature_dim)),
+        "embed_stage": jnp.zeros(
+            (batch, cfg.embed_cache_len, cfg.embed_freq_out, cfg.embed_channels[-1])
+        ),
         "processed": jnp.zeros((batch,), jnp.int32),
     }
 
 
 def streaming_step(params, cfg: Zipformer2Config, state, x_chunk, compute_dtype=None):
-    """x_chunk: [B, 2*chunk+7, F] fresh raw features -> (enc_out
+    """x_chunk: [B, 2*chunk+13, F] raw feature window -> (enc_out
     [B, chunk/2, D], new_state).  Requires cfg.causal=True.
 
-    The 12-frame embed feature cache in the state supplies the left part of
-    the embed receptive field (zeros at stream start == the offline causal
-    path's zero feature pre-pad), so streaming == offline exactly.
+    Windows advance by 2*chunk raw frames (13 frames overlap between
+    consecutive windows — the reference's T vs decode_chunk_len,
+    OnlineModel.cs:44-49).  The conv stack yields chunk+3 stage frames; the
+    3-stage-frame cache supplies the ConvNeXt's left context and the last 3
+    serve as lookahead AND become the next cache — exactly icefall's
+    Conv2dSubsampling.streaming_forward, so streaming == offline-causal.
     """
     b = x_chunk.shape[0]
     c = cfg.chunk_size
-    full_in = jnp.concatenate([state["embed_feats"].astype(x_chunk.dtype), x_chunk], axis=1)
-    new_embed_feats = full_in[:, -cfg.embed_left_pad :, :]
-    h = _embed_forward(params["embed"], cfg, full_in, compute_dtype, prepadded=True)
-    h = h[:, -c:, :]
+    stage = _embed_conv_stack(params["embed"], x_chunk, compute_dtype)  # [B, c+3, F', c3]
+    stage = jnp.concatenate([state["embed_stage"].astype(stage.dtype), stage], axis=1)
+    new_embed_stage = stage[:, -cfg.embed_cache_len :]
+    h = _embed_tail(params["embed"], stage, compute_dtype)  # [B, c, D]
     processed = state["processed"]
 
     new_layers = []
@@ -754,7 +854,8 @@ def streaming_step(params, cfg: Zipformer2Config, state, x_chunk, compute_dtype=
             li += 1
         if ds > 1:
             src = _simple_upsample(src, ds, c)
-        h = _bypass(params["stacks"][si]["bypass_out"], h, src)
+            src = _bypass(params["stacks"][si]["bypass_out"], h, src)
+        h = src
         outputs.append(h)
 
     dims = cfg.encoder_dims
@@ -770,7 +871,7 @@ def streaming_step(params, cfg: Zipformer2Config, state, x_chunk, compute_dtype=
     )
     new_state = {
         "layers": new_layers,
-        "embed_feats": new_embed_feats,
+        "embed_stage": new_embed_stage,
         "processed": processed + c,
     }
     return out, new_state

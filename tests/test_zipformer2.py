@@ -60,25 +60,29 @@ def test_streaming_matches_offline_causal(n_chunks):
     )
     p = zipformer2.init_params(jax.random.PRNGKey(4), cfg)
     b = 2
-    t_raw = cfg.decode_chunk_len * n_chunks + 7  # embed_len = chunk*n exactly
-    assert cfg.embed_len(t_raw) == cfg.chunk_size * n_chunks
+    # exactly n_chunks windows of 2*chunk+13 raw frames advancing by 2*chunk
+    t_raw = cfg.decode_chunk_len * n_chunks + 13
     x = jax.random.normal(jax.random.PRNGKey(5), (b, t_raw, 80)) * 0.5
 
     full, full_lens = zipformer2.forward(p, cfg, x, jnp.full((b,), t_raw))
-    t_out = cfg.subsampled_len(t_raw)
-    assert int(full_lens[0]) == t_out
 
     state = zipformer2.init_state(cfg, b)
     outs = []
     for n in range(n_chunks):
         start = n * cfg.decode_chunk_len
         window = x[:, start : start + cfg.chunk_input_len]
+        assert window.shape[1] == cfg.chunk_input_len
         out, state = zipformer2.streaming_step(p, cfg, state, window)
         outs.append(out)
     stream = jnp.concatenate(outs, axis=1)
-    assert stream.shape[1] == t_out
+    # streaming produced chunk/2 output frames per window; the offline pass
+    # covers at least as many (plus tail-window frames streaming hasn't
+    # flushed yet) — the shared prefix must agree
+    n_cmp = stream.shape[1]
+    assert n_cmp == n_chunks * cfg.chunk_size // 2
+    assert full.shape[1] >= n_cmp
     np.testing.assert_allclose(
-        np.asarray(full[:, :t_out]), np.asarray(stream), rtol=3e-3, atol=3e-3
+        np.asarray(full[:, :n_cmp]), np.asarray(stream), rtol=3e-3, atol=3e-3
     )
 
 
@@ -96,7 +100,8 @@ def test_state_inventory_matches_reference_spec():
     assert l0["conv1"].shape == (3, 7 // 2, 16)  # [B, k//2, D]
     l1 = s["layers"][1]  # stack 1: ds=2, left=8
     assert l1["key"].shape == (3, 8, 2 * 4)
-    assert s["embed_feats"].shape == (3, 12, 80)
+    # embed stage cache — the reference's embed_states [B,128,3,19], NHWC here
+    assert s["embed_stage"].shape == (3, 3, 19, 8)
 
 
 def test_jit_compiles():

@@ -101,7 +101,7 @@ def _export(params, cfg):
             w[base + "bypass_mid.bypass_scale"] = np.asarray(layer["bypass_mid"])
         if "downsample_weights" in stack:
             w[f"encoder.encoders.{s}.downsample.bias"] = np.asarray(stack["downsample_weights"])
-        w[f"encoder.encoders.{s}.out_combiner.bypass_scale"] = np.asarray(stack["bypass_out"])
+            w[f"encoder.encoders.{s}.out_combiner.bypass_scale"] = np.asarray(stack["bypass_out"])
     w["encoder.downsample_output.bias"] = np.asarray(params["downsample_output_weights"])
     return w
 
