@@ -1,11 +1,12 @@
-"""Host-side audio ingest: RIFF/WAVE decoding to float32 mono.
+"""Host-side audio ingest: RIFF/WAVE + mp3 decoding to float32 mono.
 
 Equivalent capability to the reference's ``Examples/Utils/AudioHelper.cs``
 (NAudio + MediaFoundation): wav decode, channel downmix, normalization to
 [-1, 1], and format sniffing by magic bytes (AudioHelper.cs:285-405).  We
-support PCM16/PCM24/PCM32/IEEE-float wav natively via the stdlib; compressed
-formats (mp3/ogg/flac/mp4) are detected and reported with a clear error since
-no OS codec stack is assumed on a TPU host.
+support PCM16/PCM24/PCM32/IEEE-float wav natively via the stdlib and mp3 via
+the host codec library (audio/codecs.py, the OS-codec route the reference
+takes through MediaFoundation); ogg/flac/mp4 are detected and reported with
+a clear error (documented descope).
 """
 
 from __future__ import annotations
@@ -111,10 +112,23 @@ def read_wav(path_or_bytes: str | bytes) -> AudioData:
             data = f.read()
 
     kind = sniff_format(data)
+    if kind == "mp3":
+        import tempfile
+
+        from k2transducerasr_tpu.audio import codecs
+
+        if isinstance(path_or_bytes, bytes):
+            with tempfile.NamedTemporaryFile(suffix=".mp3") as tmp:
+                tmp.write(data)
+                tmp.flush()
+                samples, rate = codecs.decode_mp3(tmp.name)
+        else:
+            samples, rate = codecs.decode_mp3(path_or_bytes)
+        return AudioData(samples, rate)
     if kind not in ("wav", "unknown"):
         raise ValueError(
-            f"compressed audio format '{kind}' detected; decode to wav/pcm first "
-            "(TPU hosts carry no OS codec stack)"
+            f"compressed audio format '{kind}' is not supported "
+            "(wav and mp3 are); decode to wav/pcm first"
         )
 
     # native C++ decoder (k2transducerasr_tpu/native) when built; identical
@@ -141,6 +155,11 @@ def read_wav(path_or_bytes: str | bytes) -> AudioData:
         if out is not None:
             return out
         raise
+
+
+# Public name reflecting the widened surface (wav + mp3); read_wav kept for
+# backward compatibility.
+read_audio = read_wav
 
 
 def read_wav_chunks(path: str, chunk_samples: int):

@@ -78,3 +78,72 @@ def test_resample_sinc_tone_preserved():
     expect = np.sin(2 * np.pi * 440 * t2)
     err = np.abs(y[200:-200] - expect[200:-200]).max()
     assert err < 0.02
+
+
+def _codec_libs_present():
+    import ctypes.util
+
+    return bool(
+        (ctypes.util.find_library("mpg123") or _so_exists("libmpg123.so.0"))
+        and (ctypes.util.find_library("mp3lame") or _so_exists("libmp3lame.so.0"))
+    )
+
+
+def _so_exists(name):
+    import ctypes
+
+    try:
+        ctypes.CDLL(name)
+        return True
+    except OSError:
+        return False
+
+
+def test_mp3_roundtrip(tmp_path):
+    import pytest
+
+    if not _codec_libs_present():
+        pytest.skip("host codec libraries not present")
+    from k2transducerasr_tpu.audio import read_audio
+    from k2transducerasr_tpu.audio.codecs import encode_mp3
+
+    rate = 16000
+    t = np.arange(rate) / rate  # 1 s
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    path = tmp_path / "tone.mp3"
+    encode_mp3(x, rate, path)
+    audio = read_audio(str(path))
+    assert audio.sample_rate == rate
+    # lossy codec: length faithful up to codec delay, waveform well correlated
+    assert abs(len(audio.samples) - len(x)) < 3000
+    n = min(len(audio.samples), len(x))
+    # align by cross-correlation over a small lag window (codec delay)
+    best = -1.0
+    for lag in range(0, 2400, 24):
+        seg = audio.samples[lag : lag + 8000]
+        if len(seg) < 8000:
+            break
+        c = np.corrcoef(seg, x[:8000])[0, 1]
+        best = max(best, c)
+    assert best > 0.95, f"decoded waveform poorly correlated: {best}"
+    # mp3 bytes fed directly (no filename) also decode
+    audio2 = read_audio(path.read_bytes())
+    assert audio2.sample_rate == rate
+    assert len(audio2.samples) == len(audio.samples)
+
+
+def test_mp3_chunked_read(tmp_path):
+    import pytest
+
+    if not _codec_libs_present():
+        pytest.skip("host codec libraries not present")
+    from k2transducerasr_tpu.audio.codecs import encode_mp3
+    from k2transducerasr_tpu.audio.wav import read_wav_chunks
+
+    rate = 16000
+    x = np.random.default_rng(7).standard_normal(rate).astype(np.float32) * 0.1
+    path = tmp_path / "noise.mp3"
+    encode_mp3(x, rate, path)
+    chunks = list(read_wav_chunks(str(path), 800))
+    assert all(len(c) == 800 for c in chunks[:-1])
+    assert sum(len(c) for c in chunks) > 0
