@@ -22,8 +22,16 @@ def test_offline_shapes():
     p = zipformer.init_params(jax.random.PRNGKey(0), TINY)
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 71, 80)) * 0.5
     out, lens = zipformer.forward(p, TINY, x, jnp.array([71, 39]))
+    # output frame rate = raw/4: ((71-7)//2 + 1) // 2 = 16
     assert out.shape == (2, TINY.subsampled_len(71), 16)
     assert int(lens[1]) == TINY.subsampled_len(39)
+
+
+def test_skip_sources_default_topology():
+    cfg = zipformer.ZipformerConfig()  # factors (1,2,4,8,2)
+    # icefall skip rule: stack 2 <- 0 (1<=4), stack 3 <- 1 (2<=8),
+    # stack 4 <- 1 (4>2 at j=2, then 2<=2 at j=1)
+    assert cfg.skip_sources() == (None, None, 0, 1, 1)
 
 
 def test_streaming_matches_offline_causal():
@@ -37,7 +45,7 @@ def test_streaming_matches_offline_causal():
     x = jax.random.normal(jax.random.PRNGKey(3), (b, t_raw, 80)) * 0.5
 
     full, _ = zipformer.forward(p, cfg, x, jnp.full((b,), t_raw))
-    t_out = cfg.chunk_size * n_chunks
+    t_out = zipformer.output_chunk_len(cfg) * n_chunks
 
     state = zipformer.init_state(cfg, b)
     outs = []
@@ -48,6 +56,7 @@ def test_streaming_matches_offline_causal():
         )
         outs.append(out)
     stream = jnp.concatenate(outs, axis=1)
+    assert stream.shape[1] == t_out
     np.testing.assert_allclose(
         np.asarray(full[:, :t_out]), np.asarray(stream), rtol=3e-3, atol=3e-3
     )
