@@ -56,14 +56,30 @@ def param_spec(path_leaf_shape, n_model: int) -> P:
     return P()
 
 
+def _is_conv_path(path) -> bool:
+    """True for conv-kernel leaves (embed convs, conv-module depthwise,
+    decoder grouped conv).  Grouped convolutions MUST stay replicated:
+    sharding a grouped kernel's output-feature axis changes which group a
+    shard's features belong to and GSPMD silently computes garbage
+    (reproduced on the CPU backend; see tests/test_sharding.py).  Plain
+    convs are tiny here, so all conv kernels just replicate."""
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", None))
+        if isinstance(name, str) and (name.startswith("conv") or name == "dw"):
+            return True
+    return False
+
+
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings for a param pytree under the TP rule."""
     n_model = mesh.shape["model"]
 
-    def one(leaf):
+    def one(path, leaf):
+        if _is_conv_path(path):
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, param_spec(np.shape(leaf), n_model))
 
-    return jax.tree.map(one, params)
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def shard_params(params, mesh: Mesh):

@@ -81,6 +81,7 @@ class OfflineRecognizer:
         max_tokens: int = 1024,
         frame_bucket: int = 256,
         max_active_paths: int = 4,
+        mesh=None,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"  # forced, as in reference
@@ -96,6 +97,20 @@ class OfflineRecognizer:
         self.max_tokens = max_tokens
         self.frame_bucket = frame_bucket
         self.max_active_paths = max_active_paths
+        # multi-chip: DP over the utterance batch + TP param shards; GSPMD
+        # inserts the collectives, the decode program is unchanged
+        # (SURVEY.md §2.3; reference has no distribution of any kind)
+        self.mesh = mesh
+        if mesh is not None:
+            from k2transducerasr_tpu.parallel import sharding as sh
+
+            self._params = sh.shard_params(bundle.params, mesh)
+            self._batch_sharding = sh.batch_sharding(mesh)
+            self._data_par = mesh.shape["data"]
+        else:
+            self._params = bundle.params
+            self._batch_sharding = None
+            self._data_par = 1
         self._decode_fn = self._build_decode_fn()
 
     # -- public API ---------------------------------------------------------
@@ -120,16 +135,22 @@ class OfflineRecognizer:
         # sources and half the tunnel bytes) and reads back token buffers.
         t_pad = _bucket(int(n_frames.max(initial=1)), self.frame_bucket, self.frame_bucket)
         need = (t_pad - 1) * cfg.frame_shift + cfg.frame_length
-        batch = np.zeros((b, need), np.int16)
+        b_pad = -(-b // self._data_par) * self._data_par  # lanes per data shard
+        batch = np.zeros((b_pad, need), np.int16)
         for i, s in enumerate(streams):
             x = s.samples[:need]
             batch[i, : len(x)] = np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+        counts = np.zeros((b_pad,), np.int32)
+        counts[:b] = np.minimum(n_samples, need)
+        samples_dev = jnp.asarray(batch)
+        counts_dev = jnp.asarray(counts)
+        if self._batch_sharding is not None:
+            samples_dev = jax.device_put(samples_dev, self._batch_sharding)
+            counts_dev = jax.device_put(counts_dev, self._batch_sharding)
         tokens, timestamps, count = self._decode_fn(
-            self.bundle.params,
-            jnp.asarray(batch),
-            jnp.asarray(np.minimum(n_samples, need).astype(np.int32)),
+            self._params, samples_dev, counts_dev
         )
-        raw = rnnt_greedy.extract_results(tokens, timestamps, count)
+        raw = rnnt_greedy.extract_results(tokens, timestamps, count)[:b]
         results = []
         for i, (toks, stamps) in enumerate(raw):
             text = tokens_to_text(toks, self.bundle.tokens)

@@ -135,6 +135,7 @@ class OnlineRecognizer:
         max_active_paths: int = 4,
         enable_endpoint: bool = False,
         endpoint_config=None,
+        mesh=None,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"
@@ -152,6 +153,23 @@ class OnlineRecognizer:
         self.compute_dtype = compute_dtype
         self.max_lanes = max_lanes
         self.max_tokens = max_tokens
+        # multi-chip: the lane pool is DP-sharded over the mesh's data axis
+        # (every state leaf is batch-leading) and params are TP-sharded;
+        # the step program is unchanged, GSPMD inserts the collectives
+        self.mesh = mesh
+        if mesh is not None:
+            from k2transducerasr_tpu.parallel import sharding as sh
+
+            if max_lanes % mesh.shape["data"]:
+                raise ValueError(
+                    f"max_lanes={max_lanes} must be a multiple of the mesh "
+                    f"data axis ({mesh.shape['data']})"
+                )
+            self._params = sh.shard_params(bundle.params, mesh)
+            self._batch_sharding = sh.batch_sharding(mesh)
+        else:
+            self._params = bundle.params
+            self._batch_sharding = None
 
         enc_cfg = bundle.encoder_cfg
         fcfg = bundle.frontend_cfg
@@ -168,6 +186,11 @@ class OnlineRecognizer:
         self._enc_state = bundle.encoder.init_state(enc_cfg, max_lanes)
         self._dec_state = self._init_dec_state()
         self._frame_count = jnp.zeros((max_lanes,), jnp.int32)  # subsampled frames done
+        if self._batch_sharding is not None:
+            put = lambda a: jax.device_put(a, self._batch_sharding)
+            self._enc_state = jax.tree.map(put, self._enc_state)
+            self._dec_state = jax.tree.map(put, self._dec_state)
+            self._frame_count = put(self._frame_count)
         self._step_fn = self._build_step_fn()
         self._reset_template = None
 
@@ -207,13 +230,18 @@ class OnlineRecognizer:
             for s in active:
                 windows[s.lane] = s._take_window()
                 mask[s.lane] = True
+            windows_dev = jnp.asarray(windows)
+            mask_dev = jnp.asarray(mask)
+            if self._batch_sharding is not None:
+                windows_dev = jax.device_put(windows_dev, self._batch_sharding)
+                mask_dev = jax.device_put(mask_dev, self._batch_sharding)
             self._enc_state, self._dec_state, self._frame_count = self._step_fn(
-                self.bundle.params,
+                self._params,
                 self._enc_state,
                 self._dec_state,
                 self._frame_count,
-                jnp.asarray(windows),
-                jnp.asarray(mask),
+                windows_dev,
+                mask_dev,
             )
         # ONE host transfer for all lanes (tunnel round-trips dominate
         # streaming latency; per-stream indexed reads cost ~3 RTTs each)
