@@ -70,12 +70,31 @@ def _is_conv_path(path) -> bool:
     return False
 
 
+def _is_replicated_subtree(path) -> bool:
+    """True for params that must replicate WHOLESALE: the transducer decoder
+    and joiner.  Root cause (measured, tests/test_sharding.py round 3): GSPMD
+    computes garbage for a grouped convolution whenever the *input feature
+    axis* is sharded — even with the kernel fully replicated (maxdiff ~2.0 on
+    unit-scale data vs 0.0 batch-sharded, CPU backend).  The decoder's
+    context conv is grouped (icefall: groups=dim//4), and sharding ANY
+    adjacent decoder/joiner leaf (embedding dim axis, decoder_proj.w
+    contraction axis) lets GSPMD propagate a feature-axis partition into that
+    conv.  These nets are tiny ([V,D] + a few [D,D]/[J,V] matmuls); TP exists
+    for the xlarge *encoder* (BASELINE config #5), so replication costs
+    nothing and keeps the decode loop token-identical to single-chip."""
+    for k in path:
+        name = getattr(k, "key", getattr(k, "name", None))
+        if isinstance(name, str) and name in ("decoder", "joiner"):
+            return True
+    return False
+
+
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings for a param pytree under the TP rule."""
     n_model = mesh.shape["model"]
 
     def one(path, leaf):
-        if _is_conv_path(path):
+        if _is_replicated_subtree(path) or _is_conv_path(path):
             return NamedSharding(mesh, P())
         return NamedSharding(mesh, param_spec(np.shape(leaf), n_model))
 

@@ -76,6 +76,45 @@ def test_param_tp_sharding_roundtrip():
         np.testing.assert_array_equal(a, b)
 
 
+def test_decoder_joiner_params_replicate():
+    """Root-cause regression (round 3): GSPMD computes garbage for a grouped
+    conv whenever its INPUT feature axis is sharded, even with the kernel
+    replicated; the decoder's context conv is grouped, so any feature-axis
+    TP shard on an adjacent decoder/joiner leaf corrupts greedy decode.
+    The TP rule must therefore replicate those subtrees wholesale."""
+    bundle = _tiny_bundle(causal=False)
+    mesh = sh.make_mesh(4, 2)
+    specs = sh.param_shardings(bundle.params, mesh)
+    for sub in ("decoder", "joiner"):
+        for leaf in jax.tree.leaves(specs[sub]):
+            assert leaf.is_fully_replicated
+
+
+def test_grouped_conv_feature_sharded_input_is_wrong():
+    """Pin the measured GSPMD defect the replication rule guards against:
+    if this ever starts passing with a tight tolerance, the workaround can
+    be revisited."""
+    from k2transducerasr_tpu.ops import layers as L
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = sh.make_mesh(4, 2)
+    rng = np.random.default_rng(0)
+    p = L.init_conv1d(jax.random.PRNGKey(0), 32, 32, kernel=2, groups=8, bias=False)
+    x = jnp.asarray(rng.standard_normal((8, 2, 32)).astype(np.float32))
+    f = jax.jit(lambda p, x: L.apply_conv1d(p, x, groups=8, padding="VALID"))
+    base = f(p, x)
+    p_r = jax.tree.map(lambda a: jax.device_put(a, NamedSharding(mesh, P())), p)
+    x_s = jax.device_put(x, NamedSharding(mesh, P(None, None, "model")))
+    got = f(p_r, x_s)
+    diff = float(jnp.abs(base - got).max())
+    if diff < 1e-5:
+        pytest.xfail(
+            "GSPMD grouped-conv feature sharding is now correct on this "
+            "backend; the decoder/joiner replication rule may be relaxable"
+        )
+    assert diff > 0.1  # the defect is gross corruption, not roundoff
+
+
 def test_offline_greedy_sharded_equals_unsharded():
     bundle = _tiny_bundle(causal=False)
     # f32 compute: reduction-order differences between the sharded and
