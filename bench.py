@@ -46,7 +46,7 @@ def synth_pcm(n, seed):
     ).astype(np.float32)
 
 
-def _calibrate_blank_bias(bundle, cfg, blank_frac=0.85):
+def _calibrate_blank_bias(bundle, blank_frac=0.85):
     """Give the random-weight model realistic emission statistics.
 
     Trained RNN-T models emit blank on ~85-90%% of frames (a 30 s utterance
@@ -85,12 +85,16 @@ def _calibrate_blank_bias(bundle, cfg, blank_frac=0.85):
         logits = joiner_mod.joint_logits(
             params["joiner"], enc_proj, st.dec_proj[:, None, :], jnp.bfloat16
         ).astype(jnp.float32)
-        gap = jnp.max(logits[..., 1:], axis=-1) - logits[..., 0]
+        blank = bundle.decoder_cfg.blank_id
+        nonblank = logits.at[..., blank].set(-jnp.inf)
+        gap = jnp.max(nonblank, axis=-1) - logits[..., blank]
         return jnp.quantile(gap.reshape(-1), blank_frac)
 
     bias = float(jax.device_get(probe(bundle.params)))
     b = bundle.params["joiner"]["output"]["b"]
-    bundle.params["joiner"]["output"]["b"] = b.at[0].add(bias + 1e-3)
+    bundle.params["joiner"]["output"]["b"] = b.at[bundle.decoder_cfg.blank_id].add(
+        bias + 1e-3
+    )
     log(f"blank-bias calibration: +{bias:.3f} (target {blank_frac:.0%} blank frames)")
 
 
@@ -105,7 +109,7 @@ def main():
     batch = 16
     cfg = Zipformer2Config()  # icefall-default medium zipformer2 (~16 layers)
     bundle = ModelBundle.random("zipformer2", cfg, vocab_size=500, seed=0)
-    _calibrate_blank_bias(bundle, cfg)
+    _calibrate_blank_bias(bundle)
     rec = OfflineRecognizer(bundle)  # bf16 compute
 
     n = int(16000 * utt_seconds)

@@ -15,8 +15,9 @@ TPU-first notes:
   * The whole streaming state is ONE fixed-shape pytree carried through a
     jitted chunk step with donated buffers — the reference's host-side
     ``stack_states``/``unstack_states`` interleave loops do not exist here.
-  * Rel-pos attention uses the compact [T, S+T-1] form + take_along_axis
-    shift (no [T,S,H,dh] gather materialization).
+  * Rel-pos attention uses the compact [T, S+T-1] form + the gather-free
+    pad+reshape skew in ops/attention.rel_shift (no [T,S,H,dh] gather
+    materialization — a take_along_axis there costs ~23x on TPU).
   * Chunked-causal masks are built once per (chunk, left-context) config so
     the offline graph can reproduce streaming output exactly — that identity
     is the test oracle (tests/test_conformer.py).

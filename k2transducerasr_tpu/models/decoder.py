@@ -67,6 +67,46 @@ def forward(params, cfg: DecoderConfig, y: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.relu(out)
 
 
+def context_tables(params, cfg: DecoderConfig):
+    """Fold embedding + grouped context conv into per-position lookup tables.
+
+    Returns a tuple of ``context_size`` arrays ``T_t [V, D]`` with
+    ``forward(params, cfg, y) == relu(sum_t T_t[y[:, t]])`` — the grouped
+    conv is linear, so its contraction with the embedding table can be done
+    once per model instead of once per decode-loop trip.  Inside
+    ``lax.while_loop`` decode bodies this replaces an embedding gather +
+    grouped convolution (a high-latency op for [B, 2, D] operands on TPU)
+    with two row gathers and an add.
+    """
+    emb = params["embedding"]["w"]  # [V, D]
+    if cfg.context_size == 1:
+        return (emb,)
+    w = params["conv"]["w"]  # [k, in/groups, D_out]
+    k, gi, d_out = w.shape
+    groups = emb.shape[1] // gi  # same derivation as forward()
+    go = d_out // groups
+    v = emb.shape[0]
+    emb_g = emb.reshape(v, groups, gi)
+    tables = []
+    for t in range(k):
+        w_g = w[t].reshape(gi, groups, go)
+        tables.append(
+            jnp.einsum("vji,ijo->vjo", emb_g, w_g).reshape(v, d_out)
+        )
+    return tuple(tables)
+
+
+def forward_from_tables(tables, cfg: DecoderConfig, y: jnp.ndarray) -> jnp.ndarray:
+    """y: [B, context_size] int32 -> [B, decoder_dim] using the folded
+    tables from ``context_tables`` (identical math to ``forward`` up to f32
+    summation order)."""
+    y = jnp.where(y < 0, cfg.blank_id, y)
+    out = tables[0][y[:, 0]]
+    for t in range(1, len(tables)):
+        out = out + tables[t][y[:, t]]
+    return jax.nn.relu(out)
+
+
 def forward_sequence(params, cfg: DecoderConfig, ys: jnp.ndarray) -> jnp.ndarray:
     """ys: [B, U] full label sequence -> [B, U, decoder_dim] with left
     padding of blanks (training/rescoring utility; the reference has no

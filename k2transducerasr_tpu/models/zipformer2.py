@@ -396,12 +396,21 @@ def init_params(key, cfg: Zipformer2Config):
 # ---------------------------------------------------------------------------
 
 
-def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype):
+def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
+                  pad_lens=None):
     """Compute shared attention weights.
 
     x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (streaming:
     cache|chunk) or None (offline: keys taken from this same in_proj
     evaluation — saves a duplicate projection).  Returns probs [B, H, T, S].
+
+    ``pad_lens`` (non-causal offline only): valid key counts per lane — when
+    set (and k_src/mask are None) the fused Pallas kernel computes the probs
+    without materializing the [B,H,T,R] position tensor or its skew in HBM
+    (ops/attention_pallas.py); otherwise the XLA path below runs.  The two
+    paths are numerically equivalent: same NEG_INF fill, f32 softmax, and the
+    kernel's key-padding-only mask differs from the query+key mask solely at
+    invalid query rows, which every caller zeroes downstream.
     """
     heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x_q.shape
@@ -415,13 +424,25 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype)
     s = k_src.shape[1]
     k = k_src.reshape(b, s, heads, qd)
 
+    pe = _compact_rel_pos(t, s, cfg.pos_dim)
+    pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
+
+    if pad_lens is not None and mask is None:
+        from k2transducerasr_tpu.ops import attention_pallas as AP
+
+        mode = AP.flash_attn_mode()
+        if mode != "off":
+            return AP.relpos_attn_probs(
+                q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k, pad_lens,
+                interpret=(mode == "interpret"),
+            )
+        mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
+
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
     )
     from k2transducerasr_tpu.ops.attention import rel_shift
 
-    pe = _compact_rel_pos(t, s, cfg.pos_dim)
-    pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
     pos_full = jnp.einsum(
         "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
     )
@@ -581,7 +602,7 @@ def _convert_channels(x, dim: int):
 
 def _layer_forward(
     p, cfg: Zipformer2Config, si: int, x, mask, chunk: int, caches, compute_dtype,
-    valid=None,
+    valid=None, pad_lens=None,
 ):
     """One Zipformer2 layer.
 
@@ -605,7 +626,9 @@ def _layer_forward(
     else:
         k_src = None
         new_key = None
-    attn_w = _attn_weights(p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype)
+    attn_w = _attn_weights(
+        p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype, pad_lens=pad_lens
+    )
 
     x = x + _apply_ff(p["ff1"], x, compute_dtype)
 
@@ -699,14 +722,21 @@ def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
         v = valid
     t = src.shape[1]
     mask = None
-    if v is not None:
-        mask = v[:, None, :] & v[:, :, None]
+    pad_lens = None
     if cfg.causal:
         cmask = _chunk_causal_mask(t, max(1, cfg.stack_chunk(si)), cfg.stack_left(si))[None]
-        mask = cmask if mask is None else (mask & cmask)
+        if v is not None:
+            cmask = (v[:, None, :] & v[:, :, None]) & cmask
+        mask = cmask
+    elif v is not None:
+        # non-causal: padding mask only — expressed as per-lane valid key
+        # counts so _attn_weights can route to the fused Pallas kernel
+        pad_lens = jnp.sum(v.astype(jnp.int32), axis=1)
     chunk = cfg.stack_chunk(si) if cfg.causal else 0
     for layer in p["layers"]:
-        src, _ = _layer_forward(layer, cfg, si, src, mask, chunk, None, compute_dtype, v)
+        src, _ = _layer_forward(
+            layer, cfg, si, src, mask, chunk, None, compute_dtype, v, pad_lens
+        )
         if v is not None:
             src = jnp.where(v[:, :, None], src, 0.0)
     if ds > 1:

@@ -1,0 +1,148 @@
+"""Fused relative-position attention probabilities — Pallas TPU kernel.
+
+Why this kernel exists: the XLA path (models/zipformer2._attn_weights)
+materializes, per layer, the position-score tensor ``pos_full [B, H, T, R]``
+(R = T+S-1) in f32 and then realizes the skew ``out[t, s] = z[t, (S-1)-t+s]``
+via pad+reshape+slice.  On TPU, XLA lowers that merged reshape of a tiled
+[B, H, T, R+1] array into a serialized per-(batch, head) loop of
+dynamic-update-slices through HBM scratch — measured at ~230 ms of a 367 ms
+offline zipformer2 forward (xprof: 41% of device time in dynamic-update-slice
+over f32[4,16,1532*3064] buffers, plus ~2.4 GB of HBM temporaries).
+
+This kernel computes, per (batch, head, query-block) grid cell, entirely in
+VMEM:
+
+    scores = q @ k^T  +  skew(pos_q @ pos_k^T)         [BT, S]  (f32)
+    probs  = softmax(mask(scores))                      -> out_dtype
+
+The skew is realized with ``pltpu.roll``'s per-row strided rotate (row t
+rolls right by ``c0 + t`` where ``c0 = (i*BT + 1 - S) mod R_pad``), which maps
+``m[t, (S-1) - (i*BT + t) + s]`` into position ``[t, s]`` — the exact
+relation ``ops/attention.rel_shift`` realizes (descending relative
+positions).  Nothing [T, S]- or [T, R]-sized ever touches HBM except the
+final probs block, written once in ``out_dtype`` (bf16 under mixed
+precision — numerically identical to the XLA path, which casts the f32
+probs to bf16 at every consumer anyway).
+
+Semantics match ``_attn_weights`` for the offline non-causal path:
+key-padding mask only (columns >= lens[b] get ``NEG_INF`` before softmax).
+Query-side masking is intentionally dropped: invalid query rows only
+influence invalid output rows, which every caller zeroes (see
+models/zipformer2._stack_forward / _conv_module) — the chunk-causal and
+streaming paths keep the XLA implementation.
+
+Reference context: the C# reference executes attention inside opaque ONNX
+graphs (OnlineProjOfZipformer2.cs); this kernel is the TPU-native equivalent
+of ONNX Runtime's fused attention op, specialized to icefall's compact
+rel-pos formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9  # must match ops/layers.NEG_INF for bit-parity with XLA path
+
+
+def _kernel(lens_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *, bt, s, r_pad, out_dtype):
+    b = pl.program_id(0)
+    i = pl.program_id(2)
+
+    q = q_ref[0, 0]  # [BT, qd]
+    k = k_ref[0, 0]  # [S_blk, qd]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BT, S_blk]
+    s_blk = scores.shape[1]
+
+    pq = pq_ref[0, 0]  # [BT, pd]
+    pk = pk_ref[0]  # [pd, R_pad]
+    m = jax.lax.dot_general(
+        pq, pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BT, R_pad]
+    # roll right by (c0 + t) on row t: out[t, j] = m[t, (j - c0 - t) mod R_pad]
+    # = m[t, (S-1) - (i*BT + t) + j] for j < S  (indices stay in [0, R) so the
+    # modulus never wraps into the zero padding for valid columns)
+    c0 = (i * bt + 1 - s) % r_pad
+    pos = pltpu.roll(m, shift=c0, axis=1, stride=1, stride_axis=0)
+    scores = scores + pos[:, :s_blk]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, s_blk), 1)
+    limit = jnp.minimum(lens_ref[b], s)
+    scores = jnp.where(col < limit, scores, NEG_INF)
+    out_ref[0, 0] = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_t", "interpret", "out_dtype"))
+def relpos_attn_probs(
+    q, k, pos_q, pos_k, lens, block_t: int = 128, interpret: bool = False, out_dtype=None
+):
+    """Fused softmax(q@k^T + rel_shift(pos_q@pos_k^T)) with key-padding mask.
+
+    q:     [B, T, H, qd]   queries (compute dtype)
+    k:     [B, S, H, qd]   keys
+    pos_q: [B, T, H, pd]   position-query projections
+    pos_k: [R, H, pd]      projected compact rel-pos table, R = T+S-1,
+                           DESCENDING relative positions (the layout
+                           ops/attention.rel_shift consumes)
+    lens:  [B] int32       valid key counts (None = all S valid)
+    Returns probs [B, H, T, S] in ``out_dtype`` (default: q.dtype).
+    """
+    b, t, h, qd = q.shape
+    s = k.shape[1]
+    r = pos_k.shape[0]
+    assert r == t + s - 1, (r, t, s)
+    out_dtype = out_dtype or q.dtype
+    bt = min(block_t, max(8, t))
+
+    if lens is None:
+        lens = jnp.full((b,), s, jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    # head-major layouts so each block's minor dims are (time, feature)
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, T, qd]
+    kh = k.transpose(0, 2, 1, 3)  # [B, H, S, qd]
+    pqh = pos_q.transpose(0, 2, 1, 3)  # [B, H, T, pd]
+    r_pad = -(-r // 128) * 128
+    pkh = jnp.pad(pos_k, ((0, r_pad - r), (0, 0), (0, 0))).transpose(1, 2, 0)  # [H, pd, R_pad]
+
+    grid = (b, h, pl.cdiv(t, bt))
+    kernel = functools.partial(
+        _kernel, bt=bt, s=s, r_pad=r_pad, out_dtype=out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bt, qd), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+                pl.BlockSpec((1, 1, s, qd), lambda bi, hi, ii, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, pos_q.shape[-1]), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+                pl.BlockSpec((1, pos_k.shape[-1], r_pad), lambda bi, hi, ii, *_: (hi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bt, s), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, s), out_dtype),
+        interpret=interpret,
+    )(lens, qh, kh, pqh, pkh)
+
+
+def flash_attn_mode() -> str:
+    """'on' | 'off' | 'interpret' — whether _attn_weights should use the
+    Pallas kernel.  Defaults to on for TPU backends; K2T_FLASH_ATTN=0 forces
+    the XLA path, =interpret forces interpreter mode (CPU testing)."""
+    env = os.environ.get("K2T_FLASH_ATTN", "").lower()
+    if env in ("0", "off", "false"):
+        return "off"
+    if env == "interpret":
+        return "interpret"
+    if env in ("1", "on", "true"):
+        return "on"
+    return "on" if jax.default_backend() == "tpu" else "off"

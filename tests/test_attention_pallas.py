@@ -1,0 +1,101 @@
+"""Fused rel-pos attention kernel (ops/attention_pallas.py) parity tests.
+
+Run in Pallas interpret mode on CPU against the XLA reference path
+(models/zipformer2._attn_weights math) — the same comparison the TPU
+backend gets compiled.  Covers uneven T (partial query blocks), ragged
+key lengths, 8 heads, and the end-to-end zipformer2 forward with the
+kernel forced on (interpret) vs off.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from k2transducerasr_tpu.ops import layers as L
+from k2transducerasr_tpu.ops.attention import rel_shift
+from k2transducerasr_tpu.ops.attention_pallas import relpos_attn_probs
+
+
+def _xla_reference(q, k, pos_q, pos_k, lens):
+    s = k.shape[1]
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    pos_full = jnp.einsum(
+        "bthd,rhd->bhtr", pos_q, pos_k, preferred_element_type=jnp.float32
+    )
+    scores = scores + rel_shift(pos_full, s)
+    colmask = jnp.arange(s)[None, :] < lens[:, None]
+    scores = jnp.where(colmask[:, None, None, :], scores, L.NEG_INF)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+@pytest.mark.parametrize(
+    "b,t,h,qd,pd,lens",
+    [
+        (2, 100, 4, 32, 4, [100, 57]),
+        (1, 130, 8, 32, 4, [93]),  # partial final query block, 8 heads
+        (3, 48, 4, 16, 4, [48, 1, 20]),
+    ],
+)
+def test_kernel_matches_xla(b, t, h, qd, pd, lens):
+    s = t
+    r = t + s - 1
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, t, h, qd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, qd), jnp.float32)
+    pq = jax.random.normal(ks[2], (b, t, h, pd), jnp.float32)
+    pk = jax.random.normal(ks[3], (r, h, pd), jnp.float32)
+    lens = jnp.asarray(lens, jnp.int32)
+
+    ref = np.asarray(_xla_reference(q, k, pq, pk, lens))
+    out = np.asarray(relpos_attn_probs(q, k, pq, pk, lens, interpret=True))
+    assert out.shape == ref.shape
+    # full equality on valid query rows; invalid rows are zeroed downstream
+    for i in range(b):
+        np.testing.assert_allclose(
+            out[i, :, : int(lens[i])], ref[i, :, : int(lens[i])], atol=2e-6
+        )
+
+
+def test_bf16_output_dtype():
+    b, t, h, qd, pd = 1, 64, 4, 32, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, t, h, qd), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, t, h, qd), jnp.bfloat16)
+    pq = jax.random.normal(ks[2], (b, t, h, pd), jnp.bfloat16)
+    pk = jax.random.normal(ks[3], (2 * t - 1, h, pd), jnp.bfloat16)
+    out = relpos_attn_probs(q, k, pq, pk, None, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    # probs still sum to ~1 per row
+    sums = np.asarray(jnp.sum(out.astype(jnp.float32), axis=-1))
+    np.testing.assert_allclose(sums, 1.0, atol=2e-2)
+
+
+def test_zipformer2_forward_flash_vs_xla():
+    from k2transducerasr_tpu.models import zipformer2 as Z
+
+    cfg = Z.Zipformer2Config(
+        num_encoder_layers=(1, 1, 1, 1, 1, 1), causal=False
+    )
+    params = Z.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 200, 80), jnp.float32)
+    lens = jnp.array([200, 150], jnp.int32)
+
+    old = os.environ.get("K2T_FLASH_ATTN")
+    try:
+        os.environ["K2T_FLASH_ATTN"] = "interpret"
+        out_flash, l1 = Z.forward(params, cfg, x, lens)
+        os.environ["K2T_FLASH_ATTN"] = "off"
+        out_xla, l2 = Z.forward(params, cfg, x, lens)
+    finally:
+        if old is None:
+            os.environ.pop("K2T_FLASH_ATTN", None)
+        else:
+            os.environ["K2T_FLASH_ATTN"] = old
+
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_xla), atol=5e-6
+    )
