@@ -67,13 +67,20 @@ def _calibrate_blank_bias(bundle, blank_frac=0.85):
 
     fcfg = bundle.frontend_cfg
     n = int(16000 * 4.0)
-    pcm = jnp.asarray(np.stack([synth_pcm(n, 1000 + i) for i in range(4)]))
+    pcm_host = np.stack([synth_pcm(n, 1000 + i) for i in range(4)])
+    from k2transducerasr_tpu.frontend.fbank import fbank_matrices
 
+    tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
+
+    # pcm and the fbank tables are ARGUMENTS, not closure constants: a jitted
+    # program carrying multi-MB constants permanently degrades later
+    # host<->device transfers through the axon tunnel (measured 15.7 MB H2D:
+    # ~11 ms clean vs ~350 ms once such a program has run)
     @jax.jit
-    def probe(params):
+    def probe(params, tables, pcm):
         t_pad = (n - fcfg.frame_length) // fcfg.frame_shift + 1
         lens = jnp.full((pcm.shape[0],), n, jnp.int32)
-        feats = fbank_compute(pcm, fcfg, t_pad, n_valid=lens)
+        feats = fbank_compute(pcm, fcfg, t_pad, n_valid=lens, tables=tables)
         enc_out, _ = bundle.encoder.forward(
             params["encoder"], bundle.encoder_cfg, feats,
             num_frames_jnp(lens, fcfg), jnp.bfloat16,
@@ -90,7 +97,7 @@ def _calibrate_blank_bias(bundle, blank_frac=0.85):
         gap = jnp.max(nonblank, axis=-1) - logits[..., blank]
         return jnp.quantile(gap.reshape(-1), blank_frac)
 
-    bias = float(jax.device_get(probe(bundle.params)))
+    bias = float(jax.device_get(probe(bundle.params, tables, jnp.asarray(pcm_host))))
     b = bundle.params["joiner"]["output"]["b"]
     bundle.params["joiner"]["output"]["b"] = b.at[bundle.decoder_cfg.blank_id].add(
         bias + 1e-3

@@ -92,17 +92,18 @@ def main(batch=16, utt_seconds=30.0, model="zipformer2"):
     samples_d = jnp.asarray(samples)
     counts_d = jnp.asarray(counts)
 
-    # -- stage 1: fbank
-    def front(samples, counts):
+    # -- stage 1: fbank (tables as args — closure device constants poison
+    # later tunnel transfers)
+    def front(tables, samples, counts):
         x = samples.astype(jnp.float32) * (1.0 / 32768.0)
         t = (x.shape[1] - fcfg.frame_length) // fcfg.frame_shift + 1
-        feats = fbank_compute(x, fcfg, t, n_valid=counts)
+        feats = fbank_compute(x, fcfg, t, n_valid=counts, tables=tables)
         return feats, num_frames_jnp(counts, fcfg)
 
     front_j = jax.jit(front)
-    t_front = timeit(front_j, samples_d, counts_d)
-    feats, feat_lens = jax.block_until_ready(front_j(samples_d, counts_d))
-    fl_front, by_front = flops_of(front, samples_d, counts_d)
+    t_front = timeit(front_j, rec._fbank_tables, samples_d, counts_d)
+    feats, feat_lens = jax.block_until_ready(front_j(rec._fbank_tables, samples_d, counts_d))
+    fl_front, by_front = flops_of(front, rec._fbank_tables, samples_d, counts_d)
     print(f"fbank:    {t_front*1e3:8.2f} ms  {fl_front/t_front/1e12:6.2f} TF/s  "
           f"{by_front/t_front/1e9:6.1f} GB/s  feats {feats.shape}")
 
@@ -145,9 +146,10 @@ def main(batch=16, utt_seconds=30.0, model="zipformer2"):
     print(f"search:   {t_search*1e3:8.2f} ms  tokens/utt {np.mean(np.asarray(cnt)):.0f}")
 
     # -- fused end-to-end (the production program)
-    t_e2e = timeit(rec._decode_fn, rec._params, samples_d, counts_d)
+    t_e2e = timeit(rec._decode_fn, rec._params, rec._fbank_tables, samples_d, counts_d)
     fl_e2e, by_e2e = flops_of(
-        lambda p, s, c: rec._decode_fn.__wrapped__(p, s, c), rec._params, samples_d, counts_d
+        lambda p, tb, s, c: rec._decode_fn.__wrapped__(p, tb, s, c),
+        rec._params, rec._fbank_tables, samples_d, counts_d,
     )
     audio_s = batch * utt_seconds
     print(f"e2e:      {t_e2e*1e3:8.2f} ms  {fl_e2e/t_e2e/1e12:6.2f} TF/s  "

@@ -50,12 +50,12 @@ def main(batch=16, utt_seconds=30.0):
     samples_d = jnp.asarray(samples)
 
     # warm
-    jax.block_until_ready(rec._decode_fn(rec._params, samples_d, counts))
+    jax.block_until_ready(rec._decode_fn(rec._params, rec._fbank_tables, samples_d, counts))
 
     logdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "xprof")
     os.makedirs(logdir, exist_ok=True)
     with jax.profiler.trace(logdir):
-        jax.block_until_ready(rec._decode_fn(rec._params, samples_d, counts))
+        jax.block_until_ready(rec._decode_fn(rec._params, rec._fbank_tables, samples_d, counts))
 
     planes = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
                     key=os.path.getmtime)

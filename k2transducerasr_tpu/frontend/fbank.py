@@ -202,17 +202,17 @@ def frame_indices(num_frames: int, cfg: FbankConfig) -> jnp.ndarray:
     snip_edges=True: frame t covers [t*shift, t*shift + frame_len).
     snip_edges=False: frame t is centered at t*shift + shift/2 (kaldi
     semantics); out-of-range indices are produced raw and must be reflected
-    against the true sample count (see ``_reflect``)."""
-    if cfg.snip_edges:
-        starts = np.arange(num_frames, dtype=np.int32) * cfg.frame_shift
-    else:
-        starts = (
-            np.arange(num_frames, dtype=np.int32) * cfg.frame_shift
-            + cfg.frame_shift // 2
-            - cfg.frame_length // 2
-        )
-    offs = np.arange(cfg.frame_length, dtype=np.int32)
-    return jnp.asarray(starts[:, None] + offs[None, :])
+    against the true sample count (see ``_reflect``).
+
+    Built from traced ``jnp.arange`` (iota) on purpose: a host-precomputed
+    [T, L] index table would be embedded in the compiled program as a
+    multi-MB constant, and executables carrying large constants degrade
+    every subsequent host<->device transfer through the axon tunnel."""
+    starts = jnp.arange(num_frames, dtype=jnp.int32) * cfg.frame_shift
+    if not cfg.snip_edges:
+        starts = starts + (cfg.frame_shift // 2 - cfg.frame_length // 2)
+    offs = jnp.arange(cfg.frame_length, dtype=jnp.int32)
+    return starts[:, None] + offs[None, :]
 
 
 def _reflect(idx, n_valid):
@@ -225,16 +225,22 @@ def _reflect(idx, n_valid):
     return jnp.clip(idx, 0, None)
 
 
-def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None, n_valid=None):
+def fbank_compute(samples, cfg: FbankConfig, num_frames: int, dither_key=None, n_valid=None,
+                  tables=None):
     """Pure fbank over a sample window — composable inside larger jitted
     programs (the online chunk step fuses this with encoder + search).
 
     samples: [B, N] float32 (N >= (num_frames-1)*shift + frame_length).
     n_valid: [B] true sample counts — REQUIRED when snip_edges=False (frame
     centering reflects at the true signal boundaries).
+    tables: optional (dft, mel) pair from ``fbank_matrices``.  Production
+    jitted paths MUST pass these as device-resident arguments: embedded as
+    program constants (the default) they ride in the executable image, and
+    large-constant executables degrade all later host<->device transfers
+    through the axon tunnel.
     Returns feats [B, num_frames, num_mel_bins].
     """
-    dft, mel = _matrices_cached(cfg)
+    dft, mel = tables if tables is not None else _matrices_cached(cfg)
     idx = frame_indices(num_frames, cfg)  # [T, L]
     x = samples * cfg.input_scale
     if cfg.snip_edges:

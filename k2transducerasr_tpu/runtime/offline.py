@@ -125,6 +125,15 @@ class OfflineRecognizer:
         return self.get_results([stream])[0]
 
     def get_results(self, streams: list[OfflineStream]) -> list[OfflineRecognizerResult]:
+        return self.end_decode(self.begin_decode(streams))
+
+    def begin_decode(self, streams: list[OfflineStream]):
+        """Dispatch the full device program for a batch and return a pending
+        handle WITHOUT waiting — transfers and compute are asynchronous, so a
+        serving loop can pipeline batch k+1's host prep + upload behind batch
+        k's device execution (``get_results`` is begin+end fused).  The
+        reference's API is fully synchronous (OfflineRecognizer.cs:77-91);
+        this is the TPU-serving addition that hides host<->device latency."""
         cfg = self.bundle.frontend_cfg
         b = len(streams)
         n_samples = [len(s.samples) for s in streams]
@@ -148,8 +157,14 @@ class OfflineRecognizer:
             samples_dev = jax.device_put(samples_dev, self._batch_sharding)
             counts_dev = jax.device_put(counts_dev, self._batch_sharding)
         tokens, timestamps, count = self._decode_fn(
-            self._params, samples_dev, counts_dev
+            self._params, self._fbank_tables, samples_dev, counts_dev
         )
+        return (streams, tokens, timestamps, count)
+
+    def end_decode(self, pending) -> list[OfflineRecognizerResult]:
+        """Wait for a ``begin_decode`` handle and return the results."""
+        streams, tokens, timestamps, count = pending
+        b = len(streams)
         raw = rnnt_greedy.extract_results(tokens, timestamps, count)[:b]
         results = []
         for i, (toks, stamps) in enumerate(raw):
@@ -177,7 +192,16 @@ class OfflineRecognizer:
         compute_dtype = self.compute_dtype
         max_tokens = self.max_tokens
 
-        def front(samples, sample_counts):
+        # fbank matrices ride as device-resident ARGUMENTS, never as program
+        # constants: executables carrying multi-MB constants degrade every
+        # subsequent host<->device transfer through the axon tunnel (measured
+        # 15.7 MB H2D: ~11 ms clean vs ~350 ms after one constant-bearing
+        # program has run)
+        from k2transducerasr_tpu.frontend.fbank import fbank_matrices
+
+        self._fbank_tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
+
+        def front(tables, samples, sample_counts):
             """samples [B, N] int16 + true counts -> (feats [B, T_pad, F],
             feat_lens [B]) — fused into the decode jit."""
             from k2transducerasr_tpu.frontend.fbank import (
@@ -188,14 +212,14 @@ class OfflineRecognizer:
             samples = samples.astype(jnp.float32) * (1.0 / 32768.0)
             n = samples.shape[1]
             t_pad = (n - fcfg.frame_length) // fcfg.frame_shift + 1
-            feats = fbank_compute(samples, fcfg, t_pad, n_valid=sample_counts)
+            feats = fbank_compute(samples, fcfg, t_pad, n_valid=sample_counts, tables=tables)
             return feats, num_frames_jnp(sample_counts, fcfg)
 
         if self.decoding_method == "greedy_search_ctc":
 
             @functools.partial(jax.jit)
-            def decode(params, samples, sample_counts):
-                feats, feat_lens = front(samples, sample_counts)
+            def decode(params, tables, samples, sample_counts):
+                feats, feat_lens = front(tables, samples, sample_counts)
                 enc_out, enc_lens = enc_mod.forward(
                     params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
                 )
@@ -216,8 +240,8 @@ class OfflineRecognizer:
             paths = self.max_active_paths
 
             @functools.partial(jax.jit)
-            def decode(params, samples, sample_counts):
-                feats, feat_lens = front(samples, sample_counts)
+            def decode(params, tables, samples, sample_counts):
+                feats, feat_lens = front(tables, samples, sample_counts)
                 enc_out, enc_lens = enc_mod.forward(
                     params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
                 )
@@ -230,8 +254,8 @@ class OfflineRecognizer:
             return decode
 
         @functools.partial(jax.jit)
-        def decode(params, samples, sample_counts):
-            feats, feat_lens = front(samples, sample_counts)
+        def decode(params, tables, samples, sample_counts):
+            feats, feat_lens = front(tables, samples, sample_counts)
             enc_out, enc_lens = enc_mod.forward(
                 params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
             )

@@ -237,6 +237,7 @@ class OnlineRecognizer:
                 mask_dev = jax.device_put(mask_dev, self._batch_sharding)
             self._enc_state, self._dec_state, self._frame_count = self._step_fn(
                 self._params,
+                self._fbank_tables,
                 self._enc_state,
                 self._dec_state,
                 self._frame_count,
@@ -401,9 +402,16 @@ class OnlineRecognizer:
         dec_cfg = bundle.decoder_cfg
         paths = self.max_active_paths
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
-        def step(params, enc_state, dec_state, frame_count, windows, active):
-            feats = fbank_compute(windows, fcfg, feat_window)
+        # fbank matrices as device-resident arguments, not program constants
+        # (large-constant executables degrade later tunnel transfers — see
+        # runtime/offline.py:_build_decode_fn)
+        from k2transducerasr_tpu.frontend.fbank import fbank_matrices
+
+        self._fbank_tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3, 4))
+        def step(params, tables, enc_state, dec_state, frame_count, windows, active):
+            feats = fbank_compute(windows, fcfg, feat_window, tables=tables)
             enc_out, new_enc_state = enc_mod.streaming_step(
                 params["encoder"], enc_cfg, enc_state, feats, compute_dtype
             )
