@@ -4,10 +4,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the reference's best published number — offline RTF 0.0455 on an
 i7-10750H (README.EN.md:102-104) = 21.97 audio-seconds/s (BASELINE.md).
 
-Measures the FULL public path (fbank -> encoder -> joiner-hoisted greedy ->
-text) through OfflineRecognizer on a batch of 30 s utterances, warm (the
-XLA compilation cache under .cache/jax makes compiles a one-time cost).
-Extra diagnostics (streaming p50 chunk latency) go to stderr.
+Measures the FULL public path (int16 upload -> fbank -> encoder ->
+joiner-hoisted greedy -> text) through OfflineRecognizer on batches of 30 s
+utterances, sustained with a 2-deep begin/end pipeline so batch k+1's host
+prep + upload overlaps batch k's device execution.  Emission density is
+calibrated to a realistic 2-3 BPE tokens/audio-s by bisection on the blank
+bias (trained RNN-T models emit ~85-90% blank frames; the assert guards the
+bench from quietly measuring an unrealistic decode load).
+
+stderr diagnostics: per-stage device timings + MFU, host-path breakdown
+(prep/upload/compute/readback), the tunnel-bandwidth roofline, and streaming
+p50/p95 chunk latency on the causal zipformer2 (the BASELINE north-star).
 """
 
 from __future__ import annotations
@@ -47,29 +54,32 @@ def synth_pcm(n, seed):
 
 
 def _calibrate_blank_bias(bundle, blank_frac=0.85):
-    """Give the random-weight model realistic emission statistics.
+    """First-pass emission calibration from the logit-gap quantile.
 
     Trained RNN-T models emit blank on ~85-90%% of frames (a 30 s utterance
     yields ~100 BPE tokens over ~750 output frames); untrained random weights
     emit blank on ~1/vocab of frames, i.e. a token nearly EVERY frame — an
     unrepresentative worst case that overweights the decoder/joiner loop and
-    underweights the encoder relative to any production model.  Calibrate by
-    raising the joiner's blank output bias to the ``blank_frac`` quantile of
-    the (max-over-nonblank − blank) logit gap measured on this bench's own
-    audio with the initial decoder state.  Pure bias change — same program,
-    same shapes, only the params pytree differs."""
-    import jax
+    underweights the encoder relative to any production model.  Raise the
+    joiner's blank output bias to the ``blank_frac`` quantile of the
+    (max-over-nonblank − blank) logit gap measured on this bench's own audio
+    with the initial decoder state.  This is coarse (the gap distribution
+    shifts once the decoder state evolves) — bench.main() refines it by
+    bisection on the actual decode; this helper remains the cheap single-shot
+    calibration used by the diagnostic benchmarks."""
     import jax.numpy as jnp
 
     from k2transducerasr_tpu.decode import rnnt_greedy
-    from k2transducerasr_tpu.frontend.fbank import fbank_compute, num_frames_jnp
+    from k2transducerasr_tpu.frontend.fbank import (
+        fbank_compute,
+        fbank_matrices,
+        num_frames_jnp,
+    )
     from k2transducerasr_tpu.models import joiner as joiner_mod
 
     fcfg = bundle.frontend_cfg
     n = int(16000 * 4.0)
     pcm_host = np.stack([synth_pcm(n, 1000 + i) for i in range(4)])
-    from k2transducerasr_tpu.frontend.fbank import fbank_matrices
-
     tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
 
     # pcm and the fbank tables are ARGUMENTS, not closure constants: a jitted
@@ -105,7 +115,82 @@ def _calibrate_blank_bias(bundle, blank_frac=0.85):
     log(f"blank-bias calibration: +{bias:.3f} (target {blank_frac:.0%} blank frames)")
 
 
+def _calibrate_emission_density(rec, bundle, samples_d, counts_d, utt_seconds,
+                                target=2.5, iters=12):
+    """Bisect the joiner blank bias until the PRODUCTION decode emits
+    ~`target` tokens/audio-s on the bench audio (device-resident input, so
+    each probe is one warm program dispatch).  Density is monotonically
+    decreasing in the bias."""
+    blank = bundle.decoder_cfg.blank_id
+    base_b = rec._params["joiner"]["output"]["b"]
+
+    def density(delta):
+        rec._params["joiner"]["output"]["b"] = base_b.at[blank].add(delta)
+        _, _, cnt = jax.block_until_ready(
+            rec._decode_fn(rec._params, rec._fbank_tables, samples_d, counts_d)
+        )
+        return float(np.mean(jax.device_get(cnt))) / utt_seconds
+
+    lo, hi = -12.0, 4.0  # density(lo) high, density(hi) low
+    d_lo = density(lo)
+    while d_lo < target and lo > -64.0:
+        lo *= 2.0
+        d_lo = density(lo)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        if density(mid) >= target:
+            lo = mid
+        else:
+            hi = mid
+    delta = 0.5 * (lo + hi)
+    d = density(delta)
+    log(f"emission calibration: blank-bias delta {delta:+.3f} -> "
+        f"{d:.2f} tokens/audio-s (target {target})")
+    assert 1.5 <= d <= 3.5, (
+        f"emission density {d:.2f}/audio-s outside the realistic 1.5-3.5 band —"
+        " the bench would be measuring an unrepresentative decode load"
+    )
+    return d
+
+
+def _measure_streaming(log):
+    """p50/p95 chunk latency + streaming RTF on the causal zipformer2 with a
+    full 8-lane pool (BASELINE north-star 'streaming p50 latency')."""
+    from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config
+    from k2transducerasr_tpu.runtime.bundle import ModelBundle
+    from k2transducerasr_tpu.runtime.online import OnlineRecognizer
+
+    lanes, seconds = 8, 15.0
+    cfg = Zipformer2Config(causal=True, chunk_size=32, left_context_frames=128)
+    bundle = ModelBundle.random("zipformer2", cfg, vocab_size=500, seed=0)
+    rec = OnlineRecognizer(bundle, max_lanes=lanes)
+
+    n = int(16000 * seconds)
+    streams = []
+    for i in range(lanes):
+        s = rec.create_online_stream()
+        s.add_samples(synth_pcm(n, 2000 + i))
+        streams.append(s)
+
+    rec.get_results(streams)  # compile + warm
+    lat = []
+    while any(s._ready() for s in streams):
+        t0 = time.perf_counter()
+        rec.get_results(streams)
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.array(lat) * 1e3
+    chunk_s = rec.hop_samples / bundle.frontend_cfg.sample_rate
+    p50 = float(np.percentile(lat_ms, 50))
+    p95 = float(np.percentile(lat_ms, 95))
+    log(
+        f"streaming ({lanes} lanes, {chunk_s*1e3:.0f} ms chunks): "
+        f"p50 {p50:.1f} ms  p95 {p95:.1f} ms  RTF {p50/1e3/chunk_s:.4f}  "
+        f"({len(lat)} steps)"
+    )
+
+
 def main():
+    from benchmarks.stages import stage_report
     from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config
     from k2transducerasr_tpu.runtime.bundle import ModelBundle
     from k2transducerasr_tpu.runtime.offline import OfflineRecognizer
@@ -114,34 +199,94 @@ def main():
 
     utt_seconds = 30.0
     batch = 16
+    n_batches = 6  # pipelined sustained window
     cfg = Zipformer2Config()  # icefall-default medium zipformer2 (~16 layers)
     bundle = ModelBundle.random("zipformer2", cfg, vocab_size=500, seed=0)
     _calibrate_blank_bias(bundle)
     rec = OfflineRecognizer(bundle)  # bf16 compute
 
     n = int(16000 * utt_seconds)
-    streams = []
-    for i in range(batch):
-        s = rec.create_offline_stream()
-        s.add_samples(synth_pcm(n, i))
-        streams.append(s)
+    batches = []
+    for k in range(n_batches):
+        streams = []
+        for i in range(batch):
+            s = rec.create_offline_stream()
+            s.add_samples(synth_pcm(n, k * batch + i))
+            streams.append(s)
+        batches.append(streams)
 
     t0 = time.time()
-    res = rec.get_results(streams)
+    rec.get_results(batches[0])
     log(f"warmup (incl compile): {time.time() - t0:.1f}s")
+
+    # refine emission density by bisection on the production decode
+    import jax.numpy as jnp
+
+    pcm16 = np.stack(
+        [np.clip(s.samples * 32768.0, -32768, 32767).astype(np.int16)
+         for s in batches[0]]
+    )
+    fcfg = bundle.frontend_cfg
+    t_pad = rec.frame_bucket * (
+        -(-((n - fcfg.frame_length) // fcfg.frame_shift + 1) // rec.frame_bucket)
+    )
+    need = (t_pad - 1) * fcfg.frame_shift + fcfg.frame_length
+    samples_h = np.zeros((batch, need), np.int16)
+    samples_h[:, : pcm16.shape[1]] = pcm16
+    samples_d = jnp.asarray(samples_h)
+    counts_d = jnp.asarray(np.full((batch,), n, np.int32))
+    _calibrate_emission_density(rec, bundle, samples_d, counts_d, utt_seconds)
+
+    res = rec.get_results(batches[0])
     toks = sum(len(r.tokens) for r in res) / len(res)
     log(f"emissions: {toks:.0f} tokens/utt ({toks / utt_seconds:.1f}/audio-s)")
 
+    # measure throughput BEFORE loading the diagnostic programs: every
+    # additional loaded executable further degrades the tunnel's transfer
+    # bandwidth (44 MB/s after the production program alone, single-digit
+    # MB/s once the per-stage programs are resident)
+    # sequential (unpipelined) for the record
     times = []
     for _ in range(3):
         t0 = time.time()
-        rec.get_results(streams)
+        rec.get_results(batches[0])
         times.append(time.time() - t0)
-    best = min(times)
     audio_s = batch * utt_seconds
-    value = audio_s / best
-    log(f"runs: {[round(t, 3) for t in times]} -> {value:.1f} audio-s/s/chip")
+    seq = audio_s / min(times)
+    log(f"sequential: {[round(t, 3) for t in times]} -> {seq:.1f} audio-s/s/chip")
 
+    # sustained: 2-deep begin/end pipeline, host prep + upload of batch k+1
+    # overlapping batch k's device execution
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        pending = rec.begin_decode(batches[0])
+        for k in range(1, n_batches):
+            nxt = rec.begin_decode(batches[k])
+            rec.end_decode(pending)
+            pending = nxt
+        rec.end_decode(pending)
+        wall = time.time() - t0
+        best = max(best, n_batches * audio_s / wall)
+    log(f"pipelined sustained ({n_batches} batches): {best:.1f} audio-s/s/chip")
+
+    # host-path roofline: time one upload of the bench batch
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(samples_h))
+    t_up = time.perf_counter() - t0
+    mb = samples_h.nbytes / 1e6
+    log(f"upload: {mb:.1f} MB in {t_up*1e3:.0f} ms ({mb/t_up:.0f} MB/s tunnel)")
+
+    # per-stage device timings + MFU (device-resident input)
+    stats = stage_report(rec, bundle, samples_d, counts_d, emit=log)
+    log(
+        f"roofline: {batch*utt_seconds/t_up:.0f} audio-s/s upload-bound vs "
+        f"{batch*utt_seconds/stats['t_e2e']:.0f} audio-s/s device-compute-bound"
+    )
+
+    _measure_streaming(log)
+
+    value = max(best, seq)
     print(
         json.dumps(
             {

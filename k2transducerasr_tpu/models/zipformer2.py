@@ -541,7 +541,14 @@ def _conv_module(p, dim, kernel, x, cache, chunk, compute_dtype, valid=None):
         ).reshape(b, n, chunk, d)
         y_chunk = y_chunk * _chunkwise_scale(p["chunk_scale"], chunk)[None, None]
         y = y_causal + y_chunk.reshape(b, t, d)
-        new_cache = h[:, -half:, :] if cache is not None else None
+        # the next cache comes from [cache | h], NOT h alone: deep stacks see
+        # chunks shorter than kernel//2 (e.g. default chunk 32 at downsample 8
+        # is 4 frames vs half-kernel 7), and icefall keeps the tail of the
+        # concatenated buffer (ChunkCausalDepthwiseConv1d.streaming_forward)
+        new_cache = (
+            jnp.concatenate([left, h], axis=1)[:, -half:, :]
+            if cache is not None else None
+        )
     y = L.swoosh_r(y)
     return L.apply_linear(p["out"], y, compute_dtype), new_cache
 

@@ -86,6 +86,44 @@ def test_streaming_matches_offline_causal(n_chunks):
     )
 
 
+def test_streaming_short_chunk_vs_conv_kernel():
+    """Regression: when a downsampled stack's per-step chunk is SHORTER than
+    the conv half-kernel (the icefall-default config hits this: chunk 32 at
+    downsample 8 = 4 frames vs kernel 15 half 7), the next conv cache must be
+    the tail of [cache | chunk], not of the chunk alone — slicing the chunk
+    alone shrinks the cache and crashes (or corrupts) the following step."""
+    cfg = zipformer2.Zipformer2Config(
+        **{
+            **TINY.__dict__,
+            "cnn_module_kernels": (7, 15),  # stack 1: half 7 > stack chunk 4
+            "causal": True,
+            "chunk_size": 8,
+            "left_context_frames": 16,
+        }
+    )
+    p = zipformer2.init_params(jax.random.PRNGKey(7), cfg)
+    b = 2
+    n_chunks = 3
+    t_raw = cfg.decode_chunk_len * n_chunks + 13
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, t_raw, 80)) * 0.5
+
+    full, _ = zipformer2.forward(p, cfg, x, jnp.full((b,), t_raw))
+
+    state = zipformer2.init_state(cfg, b)
+    outs = []
+    for n in range(n_chunks):
+        start = n * cfg.decode_chunk_len
+        out, state = zipformer2.streaming_step(
+            p, cfg, state, x[:, start : start + cfg.chunk_input_len]
+        )
+        outs.append(out)
+    stream = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(full[:, : stream.shape[1]]), np.asarray(stream),
+        rtol=3e-3, atol=3e-3,
+    )
+
+
 def test_state_inventory_matches_reference_spec():
     """Cache shapes mirror OnlineProjOfZipformer2.cs:53-111 (batch-leading)."""
     cfg = zipformer2.Zipformer2Config(
