@@ -10,9 +10,10 @@ Decode contract (same as wav): mono float32 in [-1, 1] + sample rate.
 Multi-channel sources are downmixed by averaging, matching
 ``AudioHelper.GetFileSample``'s mono conversion.
 
-ogg/flac/mp4 remain explicit errors (documented descope): the reference
-only ever *decodes* wav and mp3-class media through MediaFoundation; the
-magic sniffing surface (AudioHelper.cs:285-405) is matched in wav.py.
+ogg/flac/mp4 (and any other host-supported container) decode through the
+ffmpeg-backed native library (native/media_native.cpp, routed from
+wav.read_wav); the magic sniffing surface (AudioHelper.cs:285-405) is
+matched in wav.py.
 """
 
 from __future__ import annotations

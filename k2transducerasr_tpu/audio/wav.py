@@ -3,10 +3,11 @@
 Equivalent capability to the reference's ``Examples/Utils/AudioHelper.cs``
 (NAudio + MediaFoundation): wav decode, channel downmix, normalization to
 [-1, 1], and format sniffing by magic bytes (AudioHelper.cs:285-405).  We
-support PCM16/PCM24/PCM32/IEEE-float wav natively via the stdlib and mp3 via
-the host codec library (audio/codecs.py, the OS-codec route the reference
-takes through MediaFoundation); ogg/flac/mp4 are detected and reported with
-a clear error (documented descope).
+support PCM16/PCM24/PCM32/IEEE-float wav natively via the stdlib, mp3 via
+the host codec library (audio/codecs.py), and ogg/flac/mp4 (plus anything
+else the host media stack knows) via the ffmpeg-backed native decoder
+(native/media_native.cpp) — the OS-codec route the reference takes through
+MediaFoundation.
 """
 
 from __future__ import annotations
@@ -126,9 +127,30 @@ def read_wav(path_or_bytes: str | bytes) -> AudioData:
             samples, rate = codecs.decode_mp3(path_or_bytes)
         return AudioData(samples, rate)
     if kind not in ("wav", "unknown"):
+        # ogg/flac/mp4 (and anything else the host media stack knows) route
+        # through the ffmpeg-backed native decoder — the analog of the
+        # reference handing non-wav media to MediaFoundation
+        # (AudioHelper.cs:41-78)
+        import tempfile
+
+        from k2transducerasr_tpu import native
+
+        if native.media_available():
+            if isinstance(path_or_bytes, bytes):
+                with tempfile.NamedTemporaryFile(suffix=f".{kind}") as tmp:
+                    tmp.write(data)
+                    tmp.flush()
+                    decoded = native.media_decode(tmp.name)
+            else:
+                decoded = native.media_decode(path_or_bytes)
+            if decoded is None:
+                raise ValueError(f"host media stack failed to decode '{kind}' input")
+            samples, rate = decoded
+            return AudioData(samples, rate)
         raise ValueError(
-            f"compressed audio format '{kind}' is not supported "
-            "(wav and mp3 are); decode to wav/pcm first"
+            f"compressed audio format '{kind}' needs the host ffmpeg "
+            "libraries (libavformat/avcodec/swresample), which are "
+            "unavailable; decode to wav/pcm first"
         )
 
     # native C++ decoder (k2transducerasr_tpu/native) when built; identical

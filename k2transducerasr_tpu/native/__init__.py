@@ -82,6 +82,111 @@ def available() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# Media decode/encode library (separate .so: links the host ffmpeg stack —
+# libavformat/avcodec/swresample — so the core lib stays dependency-free)
+# ---------------------------------------------------------------------------
+
+_MEDIA_SRC = os.path.join(_HERE, "media_native.cpp")
+_MEDIA_LIB = os.path.join(_HERE, "libk2tmedia.so")
+_media_lib = None
+_media_tried = False
+
+
+def _build_media() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _MEDIA_SRC,
+                "-o", _MEDIA_LIB,
+                "-lavformat", "-lavcodec", "-lavutil", "-lswresample",
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_media_lib():
+    """Load (building if needed) the ffmpeg-backed media library; None if the
+    host has no ffmpeg dev stack."""
+    global _media_lib, _media_tried
+    with _lock:
+        if _media_lib is not None or _media_tried:
+            return _media_lib
+        _media_tried = True
+        if (
+            not os.path.exists(_MEDIA_LIB)
+            or os.path.getmtime(_MEDIA_LIB) < os.path.getmtime(_MEDIA_SRC)
+        ):
+            if not _build_media():
+                return None
+        try:
+            lib = ctypes.CDLL(_MEDIA_LIB)
+        except OSError:
+            return None
+        lib.k2t_media_decode.restype = ctypes.c_void_p
+        lib.k2t_media_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_longlong),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.k2t_media_copy.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)
+        ]
+        lib.k2t_media_free.argtypes = [ctypes.c_void_p]
+        lib.k2t_media_encode.restype = ctypes.c_int
+        lib.k2t_media_encode.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong, ctypes.c_int,
+        ]
+        _media_lib = lib
+        return _media_lib
+
+
+def media_available() -> bool:
+    return get_media_lib() is not None
+
+
+def media_decode(path: str):
+    """Decode any host-codec-supported media file -> (float32 mono, rate),
+    or None if the media stack is unavailable or the file can't be decoded."""
+    lib = get_media_lib()
+    if lib is None:
+        return None
+    n = ctypes.c_longlong(0)
+    rate = ctypes.c_int(0)
+    h = lib.k2t_media_decode(
+        os.fsencode(path), ctypes.byref(n), ctypes.byref(rate)
+    )
+    if not h:
+        return None
+    try:
+        out = np.empty(n.value, np.float32)
+        lib.k2t_media_copy(h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    finally:
+        lib.k2t_media_free(h)
+    return out, int(rate.value)
+
+
+def media_encode(path: str, pcm: np.ndarray, rate: int) -> bool:
+    """Encode mono float32 PCM to `path` (codec from extension).  Fixture
+    and examples helper.  Returns False if unavailable or encode failed."""
+    lib = get_media_lib()
+    if lib is None:
+        return False
+    x = np.ascontiguousarray(pcm, np.float32)
+    rc = lib.k2t_media_encode(
+        os.fsencode(path),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(x), rate,
+    )
+    return rc == 0
+
+
+# ---------------------------------------------------------------------------
 # Python-facing wrappers
 # ---------------------------------------------------------------------------
 

@@ -147,3 +147,47 @@ def test_mp3_chunked_read(tmp_path):
     chunks = list(read_wav_chunks(str(path), 800))
     assert all(len(c) == 800 for c in chunks[:-1])
     assert sum(len(c) for c in chunks) > 0
+
+
+def test_media_roundtrip_ogg_flac_mp4(tmp_path):
+    """ogg/flac/mp4 decode through the ffmpeg-backed native media library —
+    the host-OS codec route the reference takes via MediaFoundation
+    (AudioHelper.cs:41-78)."""
+    import pytest
+
+    from k2transducerasr_tpu import native
+
+    if not native.media_available():
+        pytest.skip("host ffmpeg media stack not present")
+    from k2transducerasr_tpu.audio import read_audio
+    from k2transducerasr_tpu.audio.wav import sniff_format
+
+    rate = 16000
+    t = np.arange(2 * rate) / rate
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+
+    for ext, kind, lossless in (("ogg", "ogg", False), ("flac", "flac", True),
+                                ("m4a", "mp4", False)):
+        path = tmp_path / f"tone.{ext}"
+        assert native.media_encode(str(path), x, rate), f"{ext} encode failed"
+        assert sniff_format(path.read_bytes()) == kind
+        audio = read_audio(str(path))
+        assert audio.sample_rate == rate
+        assert abs(len(audio.samples) - len(x)) < 4000
+        if lossless:
+            # flac encodes via an integer sample format: exact up to one
+            # quantization step
+            n = min(len(audio.samples), len(x))
+            assert np.max(np.abs(audio.samples[:n] - x[:n])) < 2.0 / 32768
+        else:
+            best = -1.0
+            for lag in range(0, 4000, 20):
+                seg = audio.samples[lag : lag + 8000]
+                if len(seg) < 8000:
+                    break
+                best = max(best, float(np.corrcoef(seg, x[:8000])[0, 1]))
+            assert best > 0.95, f"{ext}: decoded waveform poorly correlated ({best})"
+        # bytes input (no filename) routes through the same decoder
+        audio2 = read_audio(path.read_bytes())
+        assert audio2.sample_rate == rate
+        assert len(audio2.samples) == len(audio.samples)
