@@ -72,6 +72,30 @@ def _bucket(n: int, step: int, minimum: int) -> int:
     return max(minimum, -(-n // step) * step)
 
 
+# ln(1e-10): the reference's pad fill (PadHelper.cs:58)
+REFERENCE_PAD_FILL = -23.025850929940457
+
+
+def apply_reference_pad(feats, feat_lens, tail_len: int = 19):
+    """Reproduce the reference's offline feature-pad contract
+    (PadHelper.cs:17-58 + OfflineProjOfTransducer.cs:66-69): every lane
+    claims max(feat_lens)+tail_len frames (capped at the buffer), frames past
+    a lane's true length are filled with ln(1e-10), and any exact-zero
+    feature value is also rewritten to ln(1e-10).  Real deployments of the
+    reference fed every export input padded this way, so transcript parity
+    on real models can hinge on it; the switch is OFF by default because the
+    true-length masked path is strictly more accurate.
+
+    feats: [B, T_pad, F]; feat_lens: [B].  Returns (feats, feat_lens)."""
+    t_pad = feats.shape[1]
+    claim = jnp.minimum(jnp.max(feat_lens) + tail_len, t_pad)
+    idx = jnp.arange(t_pad)
+    feats = jnp.where(feats == 0.0, REFERENCE_PAD_FILL, feats)
+    valid = idx[None, :] < feat_lens[:, None]
+    feats = jnp.where(valid[:, :, None], feats, REFERENCE_PAD_FILL)
+    return feats, jnp.full_like(feat_lens, claim)
+
+
 class OfflineRecognizer:
     def __init__(
         self,
@@ -82,6 +106,7 @@ class OfflineRecognizer:
         frame_bucket: int = 256,
         max_active_paths: int = 4,
         mesh=None,
+        reference_pad_compat: bool = False,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"  # forced, as in reference
@@ -97,6 +122,7 @@ class OfflineRecognizer:
         self.max_tokens = max_tokens
         self.frame_bucket = frame_bucket
         self.max_active_paths = max_active_paths
+        self.reference_pad_compat = reference_pad_compat
         # multi-chip: DP over the utterance batch + TP param shards; GSPMD
         # inserts the collectives, the decode program is unchanged
         # (SURVEY.md §2.3; reference has no distribution of any kind)
@@ -142,7 +168,12 @@ class OfflineRecognizer:
         # ONE device program does fbank -> encoder -> search; the host only
         # ships the padded sample batch (as int16 — bit-exact for PCM16
         # sources and half the tunnel bytes) and reads back token buffers.
-        t_pad = _bucket(int(n_frames.max(initial=1)), self.frame_bucket, self.frame_bucket)
+        # compat mode claims +19 frames past the longest lane — keep them
+        # inside the bucketed buffer
+        tail = 19 if self.reference_pad_compat else 0
+        t_pad = _bucket(
+            int(n_frames.max(initial=1)) + tail, self.frame_bucket, self.frame_bucket
+        )
         need = (t_pad - 1) * cfg.frame_shift + cfg.frame_length
         b_pad = -(-b // self._data_par) * self._data_par  # lanes per data shard
         batch = np.zeros((b_pad, need), np.int16)
@@ -191,6 +222,7 @@ class OfflineRecognizer:
         fcfg = bundle.frontend_cfg
         compute_dtype = self.compute_dtype
         max_tokens = self.max_tokens
+        compat_pad = self.reference_pad_compat
 
         # fbank matrices ride as device-resident ARGUMENTS, never as program
         # constants: executables carrying multi-MB constants degrade every
@@ -213,7 +245,10 @@ class OfflineRecognizer:
             n = samples.shape[1]
             t_pad = (n - fcfg.frame_length) // fcfg.frame_shift + 1
             feats = fbank_compute(samples, fcfg, t_pad, n_valid=sample_counts, tables=tables)
-            return feats, num_frames_jnp(sample_counts, fcfg)
+            feat_lens = num_frames_jnp(sample_counts, fcfg)
+            if compat_pad:
+                feats, feat_lens = apply_reference_pad(feats, feat_lens)
+            return feats, feat_lens
 
         if self.decoding_method == "greedy_search_ctc":
 
