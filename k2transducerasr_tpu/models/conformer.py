@@ -157,7 +157,11 @@ def subsample(params, cfg: ConformerConfig, x, compute_dtype=None):
 def _rel_pos_emb(t_q: int, s_kv: int, dim: int, dtype=jnp.float32):
     """Sinusoidal embeddings for relative positions in DESCENDING order
     (r = s_kv-1 .. -(t_q-1)) so scores align via the gather-free rel_shift
-    (ops/attention.py)."""
+    (ops/attention.py).
+
+    INTERLEAVED sin/cos layout (pe[:, 0::2]=sin, pe[:, 1::2]=cos) — the
+    espnet/icefall RelPositionalEncoding convention real exports trained
+    ``linear_pos`` against (pinned by tests/icefall_conformer_oracle.py)."""
     from k2transducerasr_tpu.ops.attention import descending_rel_positions
 
     r = descending_rel_positions(t_q, s_kv)  # [R]
@@ -165,7 +169,7 @@ def _rel_pos_emb(t_q: int, s_kv: int, dim: int, dtype=jnp.float32):
         jnp.arange(0, dim, 2, dtype=jnp.float32) * (-math.log(10000.0) / dim)
     )
     ang = r[:, None] * inv[None, :]
-    pe = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=1)
+    pe = jnp.stack([jnp.sin(ang), jnp.cos(ang)], axis=2).reshape(len(r), dim)
     return pe.astype(dtype)  # [R, dim]
 
 
@@ -276,6 +280,10 @@ def forward(params, cfg: ConformerConfig, x, x_lens, compute_dtype=None):
     """x: [B, T, F]; x_lens: [B] -> (enc_out [B, T', D], out_lens [B])."""
     b, t, _ = x.shape
     h = subsample(params["subsample"], cfg, x, compute_dtype)
+    # espnet RelPositionalEncoding scales the embedding by sqrt(d_model)
+    # before the first block (icefall stateless conformer keeps this);
+    # real exports' weights are trained against the scaled activations
+    h = h * math.sqrt(cfg.d_model)
     t_sub = h.shape[1]
     out_lens = ((x_lens - 1) // 2 - 1) // 2
     valid = L.length_mask(out_lens, t_sub)  # [B, T']
@@ -316,6 +324,7 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
     b = x_chunk.shape[0]
     lc, c = cfg.left_context, cfg.chunk_size
     h = subsample(params["subsample"], cfg, x_chunk, compute_dtype)  # [B, c, D]
+    h = h * math.sqrt(cfg.d_model)  # espnet xscale — see forward()
     processed = state["processed"]
 
     # attention mask over [cache | chunk]: cache slot j is valid if it holds
