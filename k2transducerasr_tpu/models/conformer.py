@@ -145,7 +145,10 @@ def subsample(params, cfg: ConformerConfig, x, compute_dtype=None):
     h = jax.nn.relu(L.apply_conv2d(params["conv1"], h, strides=(2, 2), compute_dtype=compute_dtype))
     h = jax.nn.relu(L.apply_conv2d(params["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
     b, t, f, c = h.shape
-    h = h.reshape(b, t, f * c)
+    # icefall Conv2dSubsampling flattens (C, F') with F' fastest
+    # (transpose(1,2).view(b,t,c*f)); match it so exported
+    # ``encoder_embed.out.weight`` imports column-for-column.
+    h = jnp.transpose(h, (0, 1, 3, 2)).reshape(b, t, c * f)
     return L.apply_linear(params["out"], h, compute_dtype)
 
 

@@ -89,12 +89,15 @@ class RelPositionMultiheadAttention(nn.Module):
     @staticmethod
     def rel_shift(x: Tensor) -> Tensor:
         """[B, H, T, S+T-1] scores over descending rel positions -> aligned
-        [B, H, T, S] (espnet rel_shift: pad one, reshape, drop)."""
+        [B, H, T, S]: out[t, s] = x[t, (T-1) - t + s], i.e. icefall's
+        as_strided rel_shift with storage_offset = n_stride * (time1 - 1)
+        (pruned_transducer_stateless conformer.py)."""
         b, h, t, r = x.shape
         s = r - t + 1
         x = torch.nn.functional.pad(x, (0, 1))  # [B, H, T, R+1]
-        x = x.view(b, h, t * (r + 1))[:, :, : t * r].view(b, h, t, r)
-        return x[..., :s]
+        flat = x.view(b, h, t * (r + 1))
+        v = flat[:, :, t - 1 : t - 1 + t * r].view(b, h, t, r)
+        return v[..., :s]
 
     def forward(self, x: Tensor, pos_emb: Tensor, mask: Tensor | None) -> Tensor:
         """Self-attention with q == full sequence.  mask: [T, S] or
