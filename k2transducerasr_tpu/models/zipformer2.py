@@ -397,20 +397,24 @@ def init_params(key, cfg: Zipformer2Config):
 
 
 def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
-                  pad_lens=None):
+                  pad_lens=None, chunk_left=None, kv_start=None):
     """Compute shared attention weights.
 
     x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (streaming:
     cache|chunk) or None (offline: keys taken from this same in_proj
     evaluation — saves a duplicate projection).  Returns probs [B, H, T, S].
 
-    ``pad_lens`` (non-causal offline only): valid key counts per lane — when
-    set (and k_src/mask are None) the fused Pallas kernel computes the probs
-    without materializing the [B,H,T,R] position tensor or its skew in HBM
-    (ops/attention_pallas.py); otherwise the XLA path below runs.  The two
-    paths are numerically equivalent: same NEG_INF fill, f32 softmax, and the
-    kernel's key-padding-only mask differs from the query+key mask solely at
-    invalid query rows, which every caller zeroes downstream.
+    Mask specs (mutually composable, all require ``mask is None``) route to
+    the fused Pallas kernel, which computes the probs without materializing
+    the [B,H,T,R] position tensor or its skew in HBM (ops/attention_pallas.py):
+      * ``pad_lens`` — non-causal offline: valid key counts per lane.
+      * ``chunk_left`` — offline chunk-causal: static (chunk, left) pattern.
+      * ``kv_start`` — streaming: first valid [cache|chunk] key column per
+        lane (cache slots before it hold unseeded history).
+    When the kernel is off the equivalent XLA mask is built below.  The two
+    paths are numerically equivalent: same NEG_INF fill, f32 softmax, and
+    the kernel's key-side-only mask differs from the query+key mask solely
+    at invalid query rows, which every caller zeroes downstream.
     """
     heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x_q.shape
@@ -427,16 +431,28 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
     pe = _compact_rel_pos(t, s, cfg.pos_dim)
     pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
 
-    if pad_lens is not None and mask is None:
+    has_spec = pad_lens is not None or chunk_left is not None or kv_start is not None
+    if has_spec and mask is None:
         from k2transducerasr_tpu.ops import attention_pallas as AP
 
         mode = AP.flash_attn_mode()
         if mode != "off":
+            ch, lf = chunk_left if chunk_left is not None else (0, 0)
             return AP.relpos_attn_probs(
                 q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k, pad_lens,
-                interpret=(mode == "interpret"),
+                interpret=(mode == "interpret"), chunk=ch, left=lf,
+                kv_start=kv_start,
             )
-        mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
+        # XLA fallback: build the equivalent boolean mask
+        if pad_lens is not None:
+            mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
+        if chunk_left is not None:
+            cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
+            mask = cmask if mask is None else (mask & cmask)
+        if kv_start is not None:
+            smask = jnp.arange(s)[None, None, :] >= kv_start[:, None, None]
+            smask = jnp.broadcast_to(smask, (b, t, s))
+            mask = smask if mask is None else (mask & smask)
 
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -609,7 +625,7 @@ def _convert_channels(x, dim: int):
 
 def _layer_forward(
     p, cfg: Zipformer2Config, si: int, x, mask, chunk: int, caches, compute_dtype,
-    valid=None, pad_lens=None,
+    valid=None, pad_lens=None, chunk_left=None, kv_start=None,
 ):
     """One Zipformer2 layer.
 
@@ -634,7 +650,8 @@ def _layer_forward(
         k_src = None
         new_key = None
     attn_w = _attn_weights(
-        p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype, pad_lens=pad_lens
+        p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype,
+        pad_lens=pad_lens, chunk_left=chunk_left, kv_start=kv_start,
     )
 
     x = x + _apply_ff(p["ff1"], x, compute_dtype)
@@ -730,11 +747,13 @@ def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
     t = src.shape[1]
     mask = None
     pad_lens = None
+    chunk_left = None
     if cfg.causal:
-        cmask = _chunk_causal_mask(t, max(1, cfg.stack_chunk(si)), cfg.stack_left(si))[None]
+        # chunk-causal pattern as a static spec so _attn_weights can route
+        # to the fused Pallas kernel; per-lane limits compose as pad_lens
+        chunk_left = (max(1, cfg.stack_chunk(si)), cfg.stack_left(si))
         if v is not None:
-            cmask = (v[:, None, :] & v[:, :, None]) & cmask
-        mask = cmask
+            pad_lens = jnp.sum(v.astype(jnp.int32), axis=1)
     elif v is not None:
         # non-causal: padding mask only — expressed as per-lane valid key
         # counts so _attn_weights can route to the fused Pallas kernel
@@ -742,7 +761,8 @@ def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):
     chunk = cfg.stack_chunk(si) if cfg.causal else 0
     for layer in p["layers"]:
         src, _ = _layer_forward(
-            layer, cfg, si, src, mask, chunk, None, compute_dtype, v, pad_lens
+            layer, cfg, si, src, mask, chunk, None, compute_dtype, v, pad_lens,
+            chunk_left=chunk_left,
         )
         if v is not None:
             src = jnp.where(v[:, :, None], src, 0.0)
@@ -877,15 +897,15 @@ def streaming_step(params, cfg: Zipformer2Config, state, x_chunk, compute_dtype=
         src = h
         if ds > 1:
             src = _simple_downsample(params["stacks"][si]["downsample_weights"], src, ds)
-        # kv mask over [cache | chunk]: cache slot j valid iff enough history
+        # kv gating over [cache | chunk]: cache slot j valid iff enough
+        # history — expressed as the first valid column per lane so
+        # _attn_weights can route to the fused Pallas kernel
         done = jnp.minimum(processed // ds, left)
-        cache_pos = jnp.arange(left)[None, :]
-        cache_valid = cache_pos >= (left - done)[:, None]
-        kv_valid = jnp.concatenate([cache_valid, jnp.ones((b, cs), bool)], axis=1)
-        mask = jnp.broadcast_to(kv_valid[:, None, :], (b, cs, left + cs))
+        kv_start = (left - done).astype(jnp.int32)
         for layer in params["stacks"][si]["layers"]:
             src, new_cache = _layer_forward(
-                layer, cfg, si, src, mask, cs, state["layers"][li], compute_dtype
+                layer, cfg, si, src, None, cs, state["layers"][li], compute_dtype,
+                kv_start=kv_start,
             )
             new_layers.append(new_cache)
             li += 1

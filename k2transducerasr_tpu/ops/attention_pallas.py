@@ -24,12 +24,15 @@ final probs block, written once in ``out_dtype`` (bf16 under mixed
 precision — numerically identical to the XLA path, which casts the f32
 probs to bf16 at every consumer anyway).
 
-Semantics match ``_attn_weights`` for the offline non-causal path:
-key-padding mask only (columns >= lens[b] get ``NEG_INF`` before softmax).
-Query-side masking is intentionally dropped: invalid query rows only
-influence invalid output rows, which every caller zeroes (see
-models/zipformer2._stack_forward / _conv_module) — the chunk-causal and
-streaming paths keep the XLA implementation.
+Semantics match ``_attn_weights`` on all three product paths:
+  * offline non-causal — key-padding mask (columns >= lens[b] get
+    ``NEG_INF``).  Query-side masking is intentionally dropped: invalid
+    query rows only influence invalid output rows, which every caller
+    zeroes (see models/zipformer2._stack_forward / _conv_module).
+  * offline chunk-causal — the static per-block chunk mask (``chunk``/
+    ``left``) computed from iota in-kernel, same skew.
+  * streaming — per-lane ``kv_start`` marks the first written cache slot
+    ([cache | chunk] key layout; earlier columns are unseeded history).
 
 Reference context: the C# reference executes attention inside opaque ONNX
 graphs (OnlineProjOfZipformer2.cs); this kernel is the TPU-native equivalent
@@ -50,7 +53,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9  # must match ops/layers.NEG_INF for bit-parity with XLA path
 
 
-def _kernel(lens_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *, bt, s, r_pad, out_dtype):
+def _kernel(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *,
+            bt, t, s, r_pad, out_dtype, chunk, left):
     b = pl.program_id(0)
     i = pl.program_id(2)
 
@@ -66,24 +70,37 @@ def _kernel(lens_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *, bt, s, r_pad, ou
     m = jax.lax.dot_general(
         pq, pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BT, R_pad]
-    # roll right by (c0 + t) on row t: out[t, j] = m[t, (j - c0 - t) mod R_pad]
-    # = m[t, (S-1) - (i*BT + t) + j] for j < S  (indices stay in [0, R) so the
-    # modulus never wraps into the zero padding for valid columns)
-    c0 = (i * bt + 1 - s) % r_pad
+    # roll right by (c0 + tl) on row tl: out[tl, j] = m[tl, (j - c0 - tl) mod
+    # R_pad] = m[tl, (T-1) - (i*BT + tl) + j] for j < S — ops/attention.
+    # rel_shift's exact relation (queries are the LAST T positions of the kv
+    # sequence, so the offset is T-1, not S-1; they only coincide offline
+    # where T == S).  Indices stay in [0, R) so the modulus never wraps into
+    # the zero padding for valid columns.
+    c0 = (i * bt + 1 - t) % r_pad
     pos = pltpu.roll(m, shift=c0, axis=1, stride=1, stride_axis=0)
     scores = scores + pos[:, :s_blk]
 
     col = jax.lax.broadcasted_iota(jnp.int32, (bt, s_blk), 1)
     limit = jnp.minimum(lens_ref[b], s)
-    scores = jnp.where(col < limit, scores, NEG_INF)
+    valid = (col < limit) & (col >= start_ref[b])
+    if chunk:
+        # static chunk-causal pattern (t == s self-attention): query row gq
+        # attends keys in [chunk_start - left, chunk_start + chunk - 1]
+        gq = jax.lax.broadcasted_iota(jnp.int32, (bt, s_blk), 0) + i * bt
+        cs_start = (gq // chunk) * chunk
+        valid &= (col <= cs_start + chunk - 1) & (col >= cs_start - left)
+    scores = jnp.where(valid, scores, NEG_INF)
     out_ref[0, 0] = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "interpret", "out_dtype", "chunk", "left")
+)
 def relpos_attn_probs(
-    q, k, pos_q, pos_k, lens, block_t: int = 128, interpret: bool = False, out_dtype=None
+    q, k, pos_q, pos_k, lens, block_t: int = 128, interpret: bool = False,
+    out_dtype=None, chunk: int = 0, left: int = 0, kv_start=None,
 ):
-    """Fused softmax(q@k^T + rel_shift(pos_q@pos_k^T)) with key-padding mask.
+    """Fused softmax(q@k^T + rel_shift(pos_q@pos_k^T)) with key-side masks.
 
     q:     [B, T, H, qd]   queries (compute dtype)
     k:     [B, S, H, qd]   keys
@@ -92,18 +109,29 @@ def relpos_attn_probs(
                            DESCENDING relative positions (the layout
                            ops/attention.rel_shift consumes)
     lens:  [B] int32       valid key counts (None = all S valid)
+    chunk/left:            static chunk-causal self-attention pattern
+                           (requires T == S): query gq attends keys in
+                           [(gq//chunk)*chunk - left, (gq//chunk)*chunk + chunk).
+                           chunk=0 disables.
+    kv_start: [B] int32    first valid key column per lane (streaming cache
+                           gating: positions before it are unwritten history).
     Returns probs [B, H, T, S] in ``out_dtype`` (default: q.dtype).
     """
     b, t, h, qd = q.shape
     s = k.shape[1]
     r = pos_k.shape[0]
     assert r == t + s - 1, (r, t, s)
+    if chunk:
+        assert t == s, (t, s)
     out_dtype = out_dtype or q.dtype
     bt = min(block_t, max(8, t))
 
     if lens is None:
         lens = jnp.full((b,), s, jnp.int32)
     lens = lens.astype(jnp.int32)
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    kv_start = kv_start.astype(jnp.int32)
 
     # head-major layouts so each block's minor dims are (time, feature)
     qh = q.transpose(0, 2, 1, 3)  # [B, H, T, qd]
@@ -114,12 +142,13 @@ def relpos_attn_probs(
 
     grid = (b, h, pl.cdiv(t, bt))
     kernel = functools.partial(
-        _kernel, bt=bt, s=s, r_pad=r_pad, out_dtype=out_dtype
+        _kernel, bt=bt, t=t, s=s, r_pad=r_pad, out_dtype=out_dtype, chunk=chunk,
+        left=left,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, bt, qd), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
@@ -131,7 +160,7 @@ def relpos_attn_probs(
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, t, s), out_dtype),
         interpret=interpret,
-    )(lens, qh, kh, pqh, pkh)
+    )(lens, kv_start, qh, kh, pqh, pkh)
 
 
 def flash_attn_mode() -> str:

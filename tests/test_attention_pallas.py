@@ -73,6 +73,127 @@ def test_bf16_output_dtype():
     np.testing.assert_allclose(sums, 1.0, atol=2e-2)
 
 
+def test_kernel_chunk_causal_matches_xla():
+    """Static chunk-causal mask (offline causal path) vs the XLA mask."""
+    from k2transducerasr_tpu.models.zipformer2 import _chunk_causal_mask
+
+    b, t, h, qd, pd = 2, 96, 4, 32, 4
+    chunk, left = 16, 32
+    s = t
+    r = t + s - 1
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    q = jax.random.normal(ks[0], (b, t, h, qd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, qd), jnp.float32)
+    pq = jax.random.normal(ks[2], (b, t, h, pd), jnp.float32)
+    pk = jax.random.normal(ks[3], (r, h, pd), jnp.float32)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    pos_full = jnp.einsum("bthd,rhd->bhtr", pq, pk, preferred_element_type=jnp.float32)
+    scores = scores + rel_shift(pos_full, s)
+    cmask = _chunk_causal_mask(t, chunk, left)
+    ref = np.asarray(
+        jax.nn.softmax(jnp.where(cmask[None, None], scores, L.NEG_INF), axis=-1)
+    )
+
+    out = np.asarray(
+        relpos_attn_probs(q, k, pq, pk, None, interpret=True, chunk=chunk, left=left,
+                          block_t=32)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_kernel_kv_start_matches_xla():
+    """Per-lane first-valid-column gating (streaming cache path)."""
+    b, t, h, qd, pd = 3, 8, 4, 32, 4
+    s = 40  # cache(32) | chunk(8)
+    r = t + s - 1
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (b, t, h, qd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, qd), jnp.float32)
+    pq = jax.random.normal(ks[2], (b, t, h, pd), jnp.float32)
+    pk = jax.random.normal(ks[3], (r, h, pd), jnp.float32)
+    kv_start = jnp.array([32, 10, 0], jnp.int32)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    pos_full = jnp.einsum("bthd,rhd->bhtr", pq, pk, preferred_element_type=jnp.float32)
+    scores = scores + rel_shift(pos_full, s)
+    smask = jnp.arange(s)[None, :] >= kv_start[:, None]
+    ref = np.asarray(
+        jax.nn.softmax(
+            jnp.where(smask[:, None, None, :], scores, L.NEG_INF), axis=-1
+        )
+    )
+
+    out = np.asarray(
+        relpos_attn_probs(q, k, pq, pk, None, interpret=True, kv_start=kv_start)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-6)
+
+
+def test_zipformer2_streaming_flash_vs_xla():
+    """End-to-end streaming steps with the kernel forced on (interpret) vs
+    off — the streaming product path now rides the kernel."""
+    from k2transducerasr_tpu.models import zipformer2 as Z
+
+    cfg = Z.Zipformer2Config(
+        num_encoder_layers=(1, 1, 1, 1, 1, 1), causal=True
+    )
+    params = Z.init_params(jax.random.PRNGKey(0), cfg)
+    b = 2
+    win = 2 * cfg.chunk_size + 13
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(10 + i), (b, win, 80), jnp.float32)
+        for i in range(2)
+    ]
+
+    def run():
+        state = Z.init_state(cfg, b)
+        outs = []
+        for x in xs:
+            out, state = Z.streaming_step(params, cfg, state, x)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=1)
+
+    old = os.environ.get("K2T_FLASH_ATTN")
+    try:
+        os.environ["K2T_FLASH_ATTN"] = "interpret"
+        got = run()
+        os.environ["K2T_FLASH_ATTN"] = "off"
+        want = run()
+    finally:
+        if old is None:
+            os.environ.pop("K2T_FLASH_ATTN", None)
+        else:
+            os.environ["K2T_FLASH_ATTN"] = old
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_zipformer2_causal_offline_flash_vs_xla():
+    """Offline chunk-causal forward with the kernel forced on vs off."""
+    from k2transducerasr_tpu.models import zipformer2 as Z
+
+    cfg = Z.Zipformer2Config(
+        num_encoder_layers=(1, 1, 1, 1, 1, 1), causal=True
+    )
+    params = Z.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 170, 80), jnp.float32)
+    lens = jnp.array([170, 170], jnp.int32)
+
+    old = os.environ.get("K2T_FLASH_ATTN")
+    try:
+        os.environ["K2T_FLASH_ATTN"] = "interpret"
+        out_flash, l1 = Z.forward(params, cfg, x, lens)
+        os.environ["K2T_FLASH_ATTN"] = "off"
+        out_xla, l2 = Z.forward(params, cfg, x, lens)
+    finally:
+        if old is None:
+            os.environ.pop("K2T_FLASH_ATTN", None)
+        else:
+            os.environ["K2T_FLASH_ATTN"] = old
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla), atol=5e-6)
+
+
 def test_zipformer2_forward_flash_vs_xla():
     from k2transducerasr_tpu.models import zipformer2 as Z
 
