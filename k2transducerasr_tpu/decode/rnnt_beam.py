@@ -84,6 +84,9 @@ def beam_frames(
     blank = dec_cfg.blank_id
     lane = jnp.arange(b)[:, None]
     beam_idx = jnp.arange(k)[None, :]
+    # embedding + grouped context conv folded into [V, D] lookup tables once
+    # per program (see rnnt_greedy) — per-step refresh is gathers + add + relu
+    dec_tables = decoder_mod.context_tables(dec_params, dec_cfg)
 
     def step(carry: BeamState, inp):
         t, enc_t = inp  # enc_t: [B, J]
@@ -121,7 +124,9 @@ def beam_frames(
 
         new_hyp = jnp.concatenate([hyp_p[:, :, 1:], token[:, :, None]], axis=2)
         hyp = jnp.where(emit[:, :, None], new_hyp, hyp_p)
-        dec_out = decoder_mod.forward(dec_params, dec_cfg, hyp.reshape(b * k, -1))
+        dec_out = decoder_mod.forward_from_tables(
+            dec_tables, dec_cfg, hyp.reshape(b * k, -1)
+        )
         dec_proj_new = joiner_mod.project_decoder(
             join_params, dec_out, compute_dtype
         ).reshape(b, k, j)

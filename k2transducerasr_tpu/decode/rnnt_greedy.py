@@ -92,6 +92,12 @@ def greedy_frames(
     blank, unk = dec_cfg.blank_id, 2
     lane = jnp.arange(b)
 
+    # embedding + grouped context conv folded into [V, D] lookup tables once
+    # per program — inside the loop the decoder refresh is two row gathers +
+    # add + relu instead of a grouped convolution (a high-latency op for
+    # [B, ctx, D] operands on TPU)
+    dec_tables = decoder_mod.context_tables(dec_params, dec_cfg)
+
     def step(carry: GreedyState, inp):
         t, enc_t = inp  # enc_t: [B, J]
         logits = joiner_mod.joint_logits(
@@ -104,7 +110,7 @@ def greedy_frames(
 
         new_hyp = jnp.concatenate([carry.hyp[:, 1:], y[:, None]], axis=1)
         hyp = jnp.where(emit[:, None], new_hyp, carry.hyp)
-        dec_out = decoder_mod.forward(dec_params, dec_cfg, hyp)
+        dec_out = decoder_mod.forward_from_tables(dec_tables, dec_cfg, hyp)
         dec_proj_new = joiner_mod.project_decoder(join_params, dec_out, compute_dtype)
         dec_proj = jnp.where(emit[:, None], dec_proj_new, carry.dec_proj)
 
@@ -165,6 +171,8 @@ def greedy_frames_skip(
     blank, unk = dec_cfg.blank_id, 2
     lane = jnp.arange(b)
     w = min(t_max, window)
+    # see greedy_frames: decoder refresh via folded lookup tables
+    dec_tables = decoder_mod.context_tables(dec_params, dec_cfg)
 
     def cond(carry):
         _, t_ptr = carry
@@ -194,7 +202,7 @@ def greedy_frames_skip(
 
         new_hyp = jnp.concatenate([st.hyp[:, 1:], y_emit[:, None]], axis=1)
         hyp = jnp.where(emit[:, None], new_hyp, st.hyp)
-        dec_out = decoder_mod.forward(dec_params, dec_cfg, hyp)
+        dec_out = decoder_mod.forward_from_tables(dec_tables, dec_cfg, hyp)
         dec_proj_new = joiner_mod.project_decoder(join_params, dec_out, compute_dtype)
         dec_proj = jnp.where(emit[:, None], dec_proj_new, st.dec_proj)
 

@@ -78,7 +78,7 @@ def context_tables(params, cfg: DecoderConfig):
     grouped convolution (a high-latency op for [B, 2, D] operands on TPU)
     with two row gathers and an add.
     """
-    emb = params["embedding"]["w"]  # [V, D]
+    emb = params["embedding"]["table"]  # [V, D]
     if cfg.context_size == 1:
         return (emb,)
     w = params["conv"]["w"]  # [k, in/groups, D_out]

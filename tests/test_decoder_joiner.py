@@ -50,3 +50,36 @@ def test_joiner_projection_hoisting():
     )
     np.testing.assert_allclose(np.asarray(full), np.asarray(hoisted), rtol=1e-5, atol=1e-5)
     assert full.shape == (2, 77)
+
+
+def test_context_tables_match_forward():
+    """The folded lookup tables used inside the decode loops must equal the
+    embedding + grouped-conv forward for every (y1, y2) context."""
+    cfg = decoder.DecoderConfig(vocab_size=23, decoder_dim=32, context_size=2)
+    p = decoder.init_params(jax.random.PRNGKey(6), cfg)
+    tables = decoder.context_tables(p, cfg)
+    ys = jnp.stack(
+        jnp.meshgrid(jnp.arange(23), jnp.arange(23), indexing="ij"), axis=-1
+    ).reshape(-1, 2).astype(jnp.int32)
+    want = decoder.forward(p, cfg, ys)
+    got = decoder.forward_from_tables(tables, cfg, ys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    # negative ids embed as blank in both paths
+    neg = jnp.array([[-1, 5], [3, -1]], jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(decoder.forward_from_tables(tables, cfg, neg)),
+        np.asarray(decoder.forward(p, cfg, neg)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_context_tables_context1():
+    cfg = decoder.DecoderConfig(vocab_size=11, decoder_dim=16, context_size=1)
+    p = decoder.init_params(jax.random.PRNGKey(7), cfg)
+    tables = decoder.context_tables(p, cfg)
+    ys = jnp.arange(11, dtype=jnp.int32)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(decoder.forward_from_tables(tables, cfg, ys)),
+        np.asarray(decoder.forward(p, cfg, ys)),
+        rtol=1e-5, atol=1e-5,
+    )
