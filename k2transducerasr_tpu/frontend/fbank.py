@@ -17,8 +17,9 @@ pre-composed into one ``[frame_len, 2*(nfft//2+1)]`` matrix ``A``:
 
 i.e. framing-gather -> one MXU matmul -> VPU square/add -> one MXU matmul ->
 log.  XLA fuses the elementwise stages into the matmuls; there is no FFT
-butterfly and no host round trip.  A fused Pallas kernel for the same
-contraction lives in ``ops/fbank_pallas.py``.
+butterfly and no host round trip.  (A fused Pallas kernel for the same
+contraction was built and measured in round 4 — identical speed to this XLA
+path at bench shapes, so it was removed; finding recorded in BASELINE.md.)
 """
 
 from __future__ import annotations
