@@ -22,13 +22,23 @@ def peak_flops_of(device) -> float:
     return PEAK_FLOPS.get(device.device_kind.lower(), 197e12)
 
 
+def _sync(out):
+    """Force observable completion: through the axon tunnel
+    ``block_until_ready`` can return before the device finishes (measured:
+    ~0.1 ms for programs with >= 0.4 ms of mandatory HBM traffic), so pull
+    one scalar derived from the output back to the host — the device queue
+    is in-order, so the readback proves every prior program completed."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(jnp.ravel(leaf)[0])
+
+
 def timeit(fn, *args, n=5, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times)
 

@@ -217,9 +217,15 @@ def _embed_forward(p, cfg: Zipformer2Config, x, compute_dtype=None, x_lens=None)
 
 
 def _depthwise2d(x, w, b, compute_dtype=None):
-    """Depthwise 7x7 conv: x [B, T, F, C], w [7, 7, C, C] (only the
+    """Depthwise 7x7 conv (VALID): x [B, T, F, C], w [7, 7, C, C] (only the
     per-channel diagonal is used — initialized dense for importer layout,
-    applied depthwise)."""
+    applied depthwise).
+
+    Stays on ``conv_general_dilated``: a 49-term shifted multiply-add
+    variant was tried in round 4 and measured 6x WORSE (20.9 ms vs ~3.3 ms
+    of layout copies) — 2-D shifts along the narrow frequency (sublane)
+    axis do not vectorize, unlike the 1-D depthwise fast path in
+    ops.layers.apply_conv1d whose shifts run along the major time axis."""
     c = x.shape[-1]
     dw = jnp.einsum("hwcc->hwc", w)[:, :, None, :]  # HWIO [7,7,1,C] diagonal
     if compute_dtype is not None:
@@ -236,6 +242,8 @@ def _depthwise2d(x, w, b, compute_dtype=None):
     )
     if b is not None:
         y = y + b
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)  # see ops.layers.apply_linear: bandwidth
     return y
 
 

@@ -45,6 +45,12 @@ def apply_linear(p, x, compute_dtype=None):
     y = jnp.matmul(x, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
+    # store activations in the compute dtype too: accumulation stays f32
+    # inside the MXU, but keeping every inter-op tensor f32 doubles HBM
+    # traffic on a bandwidth-bound model (xprof r4: the [B,H,T,S] attention
+    # probs alone were 600 MB/layer-pair in f32)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     return y
 
 
@@ -132,22 +138,49 @@ def init_conv1d(key, in_ch: int, out_ch: int, kernel: int, groups: int = 1, bias
 
 
 def apply_conv1d(p, x, groups: int = 1, padding="SAME", compute_dtype=None):
-    """x: [B, T, C_in] -> [B, T', C_out].  Weight layout [K, C_in/g, C_out]."""
+    """x: [B, T, C_in] -> [B, T', C_out].  Weight layout [K, C_in/g, C_out].
+
+    Depthwise convs (groups == C_in == C_out) are computed as K shifted
+    multiply-adds instead of ``conv_general_dilated``: XLA lowers a
+    feature_group_count=C grouped conv on TPU through T-major layout
+    conversions that cost more than the conv itself (xprof r4: 8 x 952 us
+    of pure layout copies around the zipformer2 conv modules), while the
+    shifted form stays in the activations' natural [B, T, C] layout and
+    fuses into one VPU loop.  Products are exact (bf16 x bf16 is
+    representable in f32) and accumulation is f32 in ascending-k order, so
+    all call sites (offline/streaming) agree bit-for-bit with each other.
+    """
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    y = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1,),
-        padding=padding,
-        dimension_numbers=("NTC", "TIO", "NTC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.float32,
-    )
+    k, cin_g, cout = w.shape
+    if cin_g == 1 and groups == x.shape[-1] == cout:
+        if padding == "SAME":
+            lo = (k - 1) // 2
+            xp = jnp.pad(x, ((0, 0), (lo, k - 1 - lo), (0, 0)))
+        else:  # VALID
+            xp = x
+        t_out = xp.shape[1] - k + 1
+        xp32 = xp.astype(jnp.float32)
+        w32 = w.astype(jnp.float32)
+        y = xp32[:, 0:t_out] * w32[0, 0][None, None, :]
+        for kk in range(1, k):
+            y = y + xp32[:, kk : kk + t_out] * w32[kk, 0][None, None, :]
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1,),
+            padding=padding,
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
     if "b" in p:
         y = y + p["b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
     return y
 
 
@@ -162,7 +195,11 @@ def init_conv2d(key, in_ch: int, out_ch: int, kernel: tuple[int, int], bias: boo
 
 
 def apply_conv2d(p, x, strides=(1, 1), padding="VALID", compute_dtype=None):
-    """x: [B, H, W, C_in] -> [B, H', W', C_out].  Weight [kh, kw, C_in, C_out]."""
+    """x: [B, H, W, C_in] -> [B, H', W', C_out].  Weight [kh, kw, C_in, C_out].
+
+    (A shifted-outer-product variant for C_in == 1 was tried in round 4 and
+    measured no better than conv_general_dilated — 2-D shifts along the
+    narrow frequency axis do not vectorize; see _depthwise2d.)"""
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -177,6 +214,8 @@ def apply_conv2d(p, x, strides=(1, 1), padding="VALID", compute_dtype=None):
     )
     if "b" in p:
         y = y + p["b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)  # see apply_linear: bandwidth, not accuracy
     return y
 
 
