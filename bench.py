@@ -44,12 +44,19 @@ def log(*a):
 
 
 def synth_pcm(n, seed):
+    """Speech-band test signal.  The chirp + heavier noise matter: a purely
+    periodic tone makes encoder frames (near-)identical, so under bf16 the
+    per-frame argmaxes tie and flip in large clumps as the calibration bias
+    moves — the emission-density bisection then can't land inside its band
+    (observed: stuck at 1.40 tokens/audio-s).  Decorrelated frames give the
+    bisection a smooth density curve."""
     t = np.arange(n) / 16000.0
     rng = np.random.default_rng(seed)
+    f0 = 180.0 + 40.0 * (seed % 7)
     return (
-        0.25 * np.sin(2 * np.pi * 220 * t)
-        + 0.2 * np.sin(2 * np.pi * 523 * t + 1.0)
-        + 0.05 * rng.standard_normal(n)
+        0.22 * np.sin(2 * np.pi * (f0 + 15.0 * np.sin(2 * np.pi * 0.31 * t)) * t)
+        + 0.18 * np.sin(2 * np.pi * (2.37 * f0) * t + 1.0 + 0.8 * np.sin(2 * np.pi * 0.47 * t))
+        + 0.12 * rng.standard_normal(n)
     ).astype(np.float32)
 
 

@@ -85,6 +85,12 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
         feats = fbank_compute(x, fcfg, t, n_valid=counts, tables=tables)
         return feats, num_frames_jnp(counts, fcfg)
 
+    def dev(t):
+        """Dispatch-corrected device time: every standalone stage pays one
+        host round trip (t_disp) the fused program pays once; derived
+        TF/s / GB/s / MFU use this, not the raw wall number."""
+        return max(t - t_disp, 1e-6)
+
     front_j = jax.jit(front)
     t_front = timeit(front_j, rec._fbank_tables, samples_d, counts_d)
     feats, feat_lens = jax.block_until_ready(
@@ -92,8 +98,9 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
     )
     fl_front, by_front = flops_of(front, rec._fbank_tables, samples_d, counts_d)
     emit(
-        f"fbank:    {t_front*1e3:8.2f} ms  {fl_front/t_front/1e12:6.2f} TF/s  "
-        f"{by_front/t_front/1e9:6.1f} GB/s  feats {feats.shape}"
+        f"fbank:    {t_front*1e3:8.2f} ms raw (~{dev(t_front)*1e3:.2f} device)  "
+        f"{fl_front/dev(t_front)/1e12:6.2f} TF/s  "
+        f"{by_front/dev(t_front)/1e9:6.1f} GB/s  feats {feats.shape}"
     )
 
     enc = bundle.encoder
@@ -108,8 +115,10 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
     )
     fl_enc, by_enc = flops_of(enc_fn, bundle.params["encoder"], feats, feat_lens)
     emit(
-        f"encoder:  {t_enc*1e3:8.2f} ms  {fl_enc/t_enc/1e12:6.2f} TF/s  "
-        f"{by_enc/t_enc/1e9:6.1f} GB/s  out {enc_out.shape}  MFU {fl_enc/t_enc/peak*100:.1f}%"
+        f"encoder:  {t_enc*1e3:8.2f} ms raw (~{dev(t_enc)*1e3:.2f} device)  "
+        f"{fl_enc/dev(t_enc)/1e12:6.2f} TF/s  "
+        f"{by_enc/dev(t_enc)/1e9:6.1f} GB/s  out {enc_out.shape}  "
+        f"MFU {fl_enc/dev(t_enc)/peak*100:.1f}%"
     )
 
     def proj_fn(jp, enc_out):
@@ -146,19 +155,21 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
         lambda p, tb, s, c: rec._decode_fn.__wrapped__(p, tb, s, c),
         rec._params, rec._fbank_tables, samples_d, counts_d,
     )
-    mfu = fl_e2e / t_e2e / peak
+    mfu = fl_e2e / dev(t_e2e) / peak
     emit(
-        f"e2e:      {t_e2e*1e3:8.2f} ms  {fl_e2e/t_e2e/1e12:6.2f} TF/s  "
-        f"{by_e2e/t_e2e/1e9:6.1f} GB/s  MFU {mfu*100:.1f}%"
+        f"e2e:      {t_e2e*1e3:8.2f} ms raw (~{dev(t_e2e)*1e3:.2f} device)  "
+        f"{fl_e2e/dev(t_e2e)/1e12:6.2f} TF/s  "
+        f"{by_e2e/dev(t_e2e)/1e9:6.1f} GB/s  MFU {mfu*100:.1f}%"
     )
     return {
         "t_dispatch": t_disp,
-        "t_front": t_front,
-        "t_enc": t_enc,
-        "t_proj": t_proj,
-        "t_search": t_search,
-        "t_e2e": t_e2e,
+        "t_front": dev(t_front),
+        "t_enc": dev(t_enc),
+        "t_proj": dev(t_proj),
+        "t_search": dev(t_search),
+        "t_e2e": dev(t_e2e),
+        "t_e2e_raw": t_e2e,
         "mfu": mfu,
-        "enc_mfu": fl_enc / t_enc / peak,
+        "enc_mfu": fl_enc / dev(t_enc) / peak,
         "tokens_per_utt": float(np.mean(np.asarray(cnt))),
     }

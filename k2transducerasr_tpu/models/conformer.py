@@ -176,13 +176,22 @@ def _rel_pos_emb(t_q: int, s_kv: int, dim: int, dtype=jnp.float32):
     return pe.astype(dtype)  # [R, dim]
 
 
-def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=None):
+def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=None,
+                      pad_lens=None, chunk_left=None, kv_start=None):
     """Transformer-XL attention with queries as the LAST t_q positions of the
     kv sequence (true offline, where x_q == x_kv, and streaming, where x_kv
     is [cache | chunk]).
 
     x_q: [B, T, D]; x_kv: [B, S, D]; mask: [B, T, S] bool (True = attend) or
     None.  Returns [B, T, D].
+
+    Mask SPECS (``pad_lens``/``chunk_left``/``kv_start``, same semantics as
+    models/zipformer2._attn_weights) route the probs through the fused
+    Pallas kernel: the (q+u)·k + skew((q+v)·p) form maps onto the kernel's
+    q@k + skew(pos_q@pos_k) by folding pos_bias_u/v and the 1/sqrt(dh)
+    scale into the query operands.  The kernel's key-side-only masking
+    differs from the query+key mask solely at invalid query rows, which
+    forward() zeroes after every block.
     """
     h, dh = cfg.num_heads, cfg.head_dim
     b, t, d = x_q.shape
@@ -198,15 +207,43 @@ def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=No
     scale = 1.0 / math.sqrt(dh)
     q_u = (q + p["u"]).astype(k.dtype)
     q_v = (q + p["v_bias"]).astype(k.dtype)
-    from k2transducerasr_tpu.ops.attention import rel_shift
 
-    ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
-    bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
-    bd = rel_shift(bd_full, s)
-    scores = (ac + bd) * scale  # [B, H, T, S] f32
-    if mask is not None:
-        scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
+    has_spec = pad_lens is not None or chunk_left is not None or kv_start is not None
+    probs = None
+    if has_spec and mask is None:
+        from k2transducerasr_tpu.ops import attention_pallas as AP
+
+        mode = AP.flash_attn_mode()
+        if mode != "off":
+            ch, lf = chunk_left if chunk_left is not None else (0, 0)
+            probs = AP.relpos_attn_probs(
+                (q_u * scale).astype(k.dtype), k,
+                (q_v * scale).astype(pos.dtype), pos, pad_lens,
+                interpret=(mode == "interpret"), chunk=ch, left=lf,
+                kv_start=kv_start,
+            )
+        else:
+            if pad_lens is not None:
+                mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
+            if chunk_left is not None:
+                cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
+                mask = cmask if mask is None else (mask & cmask)
+            if kv_start is not None:
+                smask = jnp.broadcast_to(
+                    jnp.arange(s)[None, None, :] >= kv_start[:, None, None], (b, t, s)
+                )
+                mask = smask if mask is None else (mask & smask)
+
+    if probs is None:
+        from k2transducerasr_tpu.ops.attention import rel_shift
+
+        ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
+        bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
+        bd = rel_shift(bd_full, s)
+        scores = (ac + bd) * scale  # [B, H, T, S] f32
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum(
         "bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
@@ -251,13 +288,15 @@ def _conv_module(p, cfg: ConformerConfig, x, compute_dtype, conv_cache=None, val
     return h, new_cache
 
 
-def _block(p, cfg: ConformerConfig, x, mask, compute_dtype, conv_cache=None, valid=None):
+def _block(p, cfg: ConformerConfig, x, mask, compute_dtype, conv_cache=None, valid=None,
+           pad_lens=None, chunk_left=None):
     """One conformer layer (offline: attention kv == q sequence, both at the
     post-ff1 stage — the same stage the streaming path caches).
     Returns (out, new_conv_cache)."""
     x = x + 0.5 * _ff(p["ff1"], x, compute_dtype)
     attn_in = L.apply_layernorm(p["attn"]["ln"], x)
-    x = x + rel_pos_attention(p["attn"], cfg, attn_in, attn_in, mask, compute_dtype)
+    x = x + rel_pos_attention(p["attn"], cfg, attn_in, attn_in, mask, compute_dtype,
+                              pad_lens=pad_lens, chunk_left=chunk_left)
     h, new_cache = _conv_module(p["conv"], cfg, x, compute_dtype, conv_cache, valid)
     x = x + h
     x = x + 0.5 * _ff(p["ff2"], x, compute_dtype)
@@ -290,11 +329,13 @@ def forward(params, cfg: ConformerConfig, x, x_lens, compute_dtype=None):
     t_sub = h.shape[1]
     out_lens = ((x_lens - 1) // 2 - 1) // 2
     valid = L.length_mask(out_lens, t_sub)  # [B, T']
-    mask = valid[:, None, :] & valid[:, :, None]  # [B, T', T']
-    if cfg.causal:
-        mask = mask & _chunk_causal_mask(t_sub, cfg.chunk_size, cfg.left_context)[None]
+    # mask expressed as specs so rel_pos_attention can route to the fused
+    # Pallas kernel; invalid query rows are zeroed after every block below
+    pad_lens = jnp.maximum(out_lens, 0).astype(jnp.int32)
+    chunk_left = (cfg.chunk_size, cfg.left_context) if cfg.causal else None
     for layer in params["layers"]:
-        h, _ = _block(layer, cfg, h, mask, compute_dtype, valid=valid)
+        h, _ = _block(layer, cfg, h, None, compute_dtype, valid=valid,
+                      pad_lens=pad_lens, chunk_left=chunk_left)
         h = jnp.where(valid[:, :, None], h, 0.0)
     return h, out_lens
 
@@ -330,14 +371,11 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
     h = h * math.sqrt(cfg.d_model)  # espnet xscale — see forward()
     processed = state["processed"]
 
-    # attention mask over [cache | chunk]: cache slot j is valid if it holds
-    # a real frame, i.e. j >= lc - min(processed, lc)
-    cache_pos = jnp.arange(lc)[None, :]  # [1, lc]
-    cache_valid = cache_pos >= (lc - jnp.minimum(processed, lc))[:, None]
-    kv_valid = jnp.concatenate(
-        [cache_valid, jnp.ones((b, c), bool)], axis=1
-    )  # [B, lc + c]
-    mask = jnp.broadcast_to(kv_valid[:, None, :], (b, c, lc + c))
+    # attention gating over [cache | chunk]: cache slot j is valid if it
+    # holds a real frame, i.e. j >= lc - min(processed, lc) — expressed as
+    # the first valid column per lane so rel_pos_attention can route to the
+    # fused Pallas kernel
+    kv_start = (lc - jnp.minimum(processed, lc)).astype(jnp.int32)
 
     new_attn = []
     new_conv = []
@@ -348,7 +386,8 @@ def streaming_step(params, cfg: ConformerConfig, state, x_chunk, compute_dtype=N
         attn_in = L.apply_layernorm(layer["attn"]["ln"], x_ff)
         kv_in = L.apply_layernorm(layer["attn"]["ln"], kv)
         x_attn = x_ff + rel_pos_attention(
-            layer["attn"], cfg, attn_in, kv_in, mask, compute_dtype
+            layer["attn"], cfg, attn_in, kv_in, None, compute_dtype,
+            kv_start=kv_start,
         )
         hcv, conv_cache = _conv_module(
             layer["conv"], cfg, x_attn, compute_dtype, state["conv"][:, i]

@@ -220,3 +220,71 @@ def test_zipformer2_forward_flash_vs_xla():
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), atol=5e-6
     )
+
+
+def test_conformer_forward_flash_vs_xla():
+    """Conformer offline (non-causal + causal) with the kernel forced on
+    (interpret) vs off — the (q+u)/(q+v)/scale folding must be exact."""
+    from k2transducerasr_tpu.models import conformer as C
+
+    for causal in (False, True):
+        cfg = C.ConformerConfig(
+            feature_dim=80, d_model=32, num_layers=2, num_heads=4, ff_dim=48,
+            cnn_kernel=7, causal=causal, chunk_size=4, left_context=8,
+        )
+        params = C.init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 71, 80), jnp.float32) * 0.5
+        lens = jnp.array([71, 43], jnp.int32)
+
+        old = os.environ.get("K2T_FLASH_ATTN")
+        try:
+            os.environ["K2T_FLASH_ATTN"] = "interpret"
+            out_flash, l1 = C.forward(params, cfg, x, lens)
+            os.environ["K2T_FLASH_ATTN"] = "off"
+            out_xla, l2 = C.forward(params, cfg, x, lens)
+        finally:
+            if old is None:
+                os.environ.pop("K2T_FLASH_ATTN", None)
+            else:
+                os.environ["K2T_FLASH_ATTN"] = old
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_allclose(
+            np.asarray(out_flash), np.asarray(out_xla), atol=1e-5,
+            err_msg=f"causal={causal}",
+        )
+
+
+def test_conformer_streaming_flash_vs_xla():
+    from k2transducerasr_tpu.models import conformer as C
+
+    cfg = C.ConformerConfig(
+        feature_dim=80, d_model=32, num_layers=2, num_heads=4, ff_dim=48,
+        cnn_kernel=7, causal=True, chunk_size=4, left_context=8,
+    )
+    params = C.init_params(jax.random.PRNGKey(0), cfg)
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(5 + i), (2, cfg.chunk_input_len, 80),
+                          jnp.float32) * 0.5
+        for i in range(3)
+    ]
+
+    def run():
+        state = C.init_state(cfg, 2)
+        outs = []
+        for x in xs:
+            out, state = C.streaming_step(params, cfg, state, x)
+            outs.append(np.asarray(out))
+        return np.concatenate(outs, axis=1)
+
+    old = os.environ.get("K2T_FLASH_ATTN")
+    try:
+        os.environ["K2T_FLASH_ATTN"] = "interpret"
+        got = run()
+        os.environ["K2T_FLASH_ATTN"] = "off"
+        want = run()
+    finally:
+        if old is None:
+            os.environ.pop("K2T_FLASH_ATTN", None)
+        else:
+            os.environ["K2T_FLASH_ATTN"] = old
+    np.testing.assert_allclose(got, want, atol=1e-5)
