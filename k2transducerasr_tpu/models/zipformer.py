@@ -328,10 +328,16 @@ def _simple_combine(weight1, src1, src2):
     return a + b_
 
 
-def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask, compute_dtype):
+def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask, compute_dtype,
+               pad_lens=None, chunk_left=None, kv_start=None):
     """Returns (out1, apply2(x2), k_chunk, v1_chunk).  apply2 reuses the SAME
     attention weights with the in_proj2/out_proj2 value path
-    (RelPositionMultiheadAttention.forward2)."""
+    (RelPositionMultiheadAttention.forward2).
+
+    Mask specs (``pad_lens``/``chunk_left``/``kv_start``, semantics as
+    models/zipformer2._attn_weights) route the probs through the fused
+    Pallas kernel; the XLA path below is the fallback and builds the
+    equivalent boolean mask."""
     adim = cfg.attention_dims[si]
     heads = cfg.num_heads[si]
     hd = adim // heads
@@ -353,22 +359,49 @@ def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask
     s = k_src.shape[1]
     k = k_src.reshape(b, s, heads, hd)
 
-    # NO 1/sqrt(head_dim): icefall bakes the scaling into in_proj's init
-    # (ScaledLinear initial_scale=head_dim**-0.25 on both q and k).
-    scores = jnp.einsum(
-        "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
-    )
-    from k2transducerasr_tpu.ops.attention import rel_shift
-
     pe = _sinusoidal_rel_pos(t, s, dim)
     pos_k = L.apply_linear(p["pos_proj"], pe, compute_dtype).reshape(-1, heads, pd)
-    pos_full = jnp.einsum(
-        "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
-    )
-    scores = scores + rel_shift(pos_full, s)
-    if mask is not None:
-        scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
-    attn_w = jax.nn.softmax(scores, axis=-1)  # [B,H,T,S]
+
+    # NO 1/sqrt(head_dim): icefall bakes the scaling into in_proj's init
+    # (ScaledLinear initial_scale=head_dim**-0.25 on both q and k).
+    has_spec = pad_lens is not None or chunk_left is not None or kv_start is not None
+    attn_w = None
+    if has_spec and mask is None:
+        from k2transducerasr_tpu.ops import attention_pallas as AP
+
+        mode = AP.flash_attn_mode()
+        if mode != "off":
+            ch, lf = chunk_left if chunk_left is not None else (0, 0)
+            attn_w = AP.relpos_attn_probs(
+                q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k, pad_lens,
+                interpret=(mode == "interpret"), chunk=ch, left=lf,
+                kv_start=kv_start,
+            )
+        else:
+            if pad_lens is not None:
+                mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
+            if chunk_left is not None:
+                cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
+                mask = cmask if mask is None else (mask & cmask)
+            if kv_start is not None:
+                smask = jnp.broadcast_to(
+                    jnp.arange(s)[None, None, :] >= kv_start[:, None, None], (b, t, s)
+                )
+                mask = smask if mask is None else (mask & smask)
+
+    if attn_w is None:
+        from k2transducerasr_tpu.ops.attention import rel_shift
+
+        scores = jnp.einsum(
+            "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
+        )
+        pos_full = jnp.einsum(
+            "bthd,rhd->bhtr", pos_q.astype(pos_k.dtype), pos_k, preferred_element_type=jnp.float32
+        )
+        scores = scores + rel_shift(pos_full, s)
+        if mask is not None:
+            scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
+        attn_w = jax.nn.softmax(scores, axis=-1)  # [B,H,T,S]
 
     def weighted(v_src_):
         v = v_src_.reshape(b, s, heads, (adim // 2) // heads)
@@ -451,7 +484,8 @@ def _ff(p, x, compute_dtype):
     return L.apply_linear(p["w2"], double_swish(L.apply_linear(p["w1"], x, compute_dtype)), compute_dtype)
 
 
-def _layer_forward(p, cfg, si, x, mask, caches, valid, compute_dtype):
+def _layer_forward(p, cfg, si, x, mask, caches, valid, compute_dtype,
+                   pad_lens=None, chunk_left=None, kv_start=None):
     """One ZipformerEncoderLayer, icefall op order: ff1 -> pooling ->
     self_attn -> conv1 -> ff2 -> attn.forward2 -> conv2 -> ff3 ->
     norm_final -> scalar bypass.
@@ -487,6 +521,7 @@ def _layer_forward(p, cfg, si, x, mask, caches, valid, compute_dtype):
         caches["val1"] if streaming else None,
         caches["val2"] if streaming else None,
         mask, compute_dtype,
+        pad_lens=pad_lens, chunk_left=chunk_left, kv_start=kv_start,
     )
     if streaming:
         left = caches["key"].shape[1]
@@ -541,9 +576,11 @@ def _layer_forward(p, cfg, si, x, mask, caches, valid, compute_dtype):
 # ---------------------------------------------------------------------------
 
 
-def _stack_layers(p, cfg, si, src, mask, v, compute_dtype):
+def _stack_layers(p, cfg, si, src, mask, v, compute_dtype,
+                  pad_lens=None, chunk_left=None):
     for layer in p["layers"]:
-        src, _ = _layer_forward(layer, cfg, si, src, mask, None, v, compute_dtype)
+        src, _ = _layer_forward(layer, cfg, si, src, mask, None, v, compute_dtype,
+                                pad_lens=pad_lens, chunk_left=chunk_left)
         if v is not None:
             src = jnp.where(v[:, :, None], src, 0.0)
     return src
@@ -593,11 +630,15 @@ def forward(params, cfg: ZipformerConfig, x, x_lens, compute_dtype=None):
         else:
             src, src_orig, v = h, None, valid
         t = src.shape[1]
-        mask = v[:, None, :] & v[:, :, None] if v is not None else None
-        if cfg.causal:
-            cmask = _chunk_causal_mask(t, max(1, cfg.stack_chunk(si)), cfg.stack_left(si))[None]
-            mask = cmask if mask is None else (mask & cmask)
-        src = _stack_layers(p, cfg, si, src, mask, v, compute_dtype)
+        # masks expressed as specs so _attention can route to the fused
+        # Pallas kernel (invalid query rows are key-side-unmasked there but
+        # only feed invalid output rows, which downstream masking gates)
+        pad_lens = jnp.sum(v.astype(jnp.int32), axis=1) if v is not None else None
+        chunk_left = (
+            (max(1, cfg.stack_chunk(si)), cfg.stack_left(si)) if cfg.causal else None
+        )
+        src = _stack_layers(p, cfg, si, src, None, v, compute_dtype,
+                            pad_lens=pad_lens, chunk_left=chunk_left)
         if ds > 1:
             src = _simple_upsample_v1(p["upsample_bias"], src, t_full)
             h = _simple_combine(p["out_combiner"]["weight1"], src_orig, src)
@@ -673,13 +714,11 @@ def streaming_step(params, cfg: ZipformerConfig, state, x_chunk, compute_dtype=N
         else:
             src, src_orig = h, None
         done = jnp.minimum(processed // ds, left)
-        cache_pos = jnp.arange(left)[None, :]
-        cache_valid = cache_pos >= (left - done)[:, None]
-        kv_valid = jnp.concatenate([cache_valid, jnp.ones((b, cs), bool)], axis=1)
-        mask = jnp.broadcast_to(kv_valid[:, None, :], (b, cs, left + cs))
+        kv_start = (left - done).astype(jnp.int32)
         for layer in p["layers"]:
             src, nc = _layer_forward(
-                layer, cfg, si, src, mask, state["layers"][li], None, compute_dtype
+                layer, cfg, si, src, None, state["layers"][li], None, compute_dtype,
+                kv_start=kv_start,
             )
             new_layers.append(nc)
             li += 1

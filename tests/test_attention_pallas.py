@@ -288,3 +288,51 @@ def test_conformer_streaming_flash_vs_xla():
         else:
             os.environ["K2T_FLASH_ATTN"] = old
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_zipformer1_flash_vs_xla():
+    """Zipformer v1 offline (non-causal + causal) and streaming with the
+    kernel forced on (interpret) vs off."""
+    from k2transducerasr_tpu.models import zipformer as Z1
+
+    kw = dict(
+        num_encoder_layers=(1, 1), encoder_dims=(32, 32),
+        attention_dims=(16, 16), downsampling_factors=(1, 2),
+        num_heads=(4, 4), feedforward_dims=(48, 48),
+        cnn_module_kernels=(7, 7), embed_channels=(2, 4, 8),
+        chunk_size=8, left_context_frames=16,
+    )
+
+    def run_all(causal):
+        cfg = Z1.ZipformerConfig(causal=causal, **kw)
+        params = Z1.init_params(jax.random.PRNGKey(0), cfg)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 71, 80), jnp.float32) * 0.5
+        lens = jnp.array([71, 45], jnp.int32)
+        out, _ = Z1.forward(params, cfg, x, lens)
+        outs = [np.asarray(out)]
+        if causal:
+            state = Z1.init_state(cfg, 2)
+            sout = []
+            for i in range(2):
+                xc = jax.random.normal(
+                    jax.random.PRNGKey(3 + i), (2, cfg.chunk_input_len, 80), jnp.float32
+                ) * 0.5
+                o, state = Z1.streaming_step(params, cfg, state, xc)
+                sout.append(np.asarray(o))
+            outs.append(np.concatenate(sout, axis=1))
+        return outs
+
+    for causal in (False, True):
+        old = os.environ.get("K2T_FLASH_ATTN")
+        try:
+            os.environ["K2T_FLASH_ATTN"] = "interpret"
+            got = run_all(causal)
+            os.environ["K2T_FLASH_ATTN"] = "off"
+            want = run_all(causal)
+        finally:
+            if old is None:
+                os.environ.pop("K2T_FLASH_ATTN", None)
+            else:
+                os.environ["K2T_FLASH_ATTN"] = old
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1e-5, err_msg=f"causal={causal}")
