@@ -223,16 +223,7 @@ def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=No
                 kv_start=kv_start,
             )
         else:
-            if pad_lens is not None:
-                mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
-            if chunk_left is not None:
-                cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
-                mask = cmask if mask is None else (mask & cmask)
-            if kv_start is not None:
-                smask = jnp.broadcast_to(
-                    jnp.arange(s)[None, None, :] >= kv_start[:, None, None], (b, t, s)
-                )
-                mask = smask if mask is None else (mask & smask)
+            mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
     if probs is None:
         from k2transducerasr_tpu.ops.attention import rel_shift
@@ -309,13 +300,11 @@ def _block(p, cfg: ConformerConfig, x, mask, compute_dtype, conv_cache=None, val
 
 
 def _chunk_causal_mask(t: int, chunk: int, left: int):
-    """[t, t] bool: query i attends j iff j <= chunk_end(i) and
-    j >= chunk_start(i) - left  (icefall streaming chunked-attention mask)."""
-    q = jnp.arange(t)[:, None]
-    s = jnp.arange(t)[None, :]
-    chunk_start = (q // chunk) * chunk
-    chunk_end = chunk_start + chunk - 1
-    return (s <= chunk_end) & (s >= chunk_start - left)
+    """icefall streaming chunked-attention mask — shared helper
+    (ops/attention.chunk_causal_mask)."""
+    from k2transducerasr_tpu.ops.attention import chunk_causal_mask
+
+    return chunk_causal_mask(t, chunk, left)
 
 
 def forward(params, cfg: ConformerConfig, x, x_lens, compute_dtype=None):

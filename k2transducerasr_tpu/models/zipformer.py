@@ -378,16 +378,7 @@ def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask
                 kv_start=kv_start,
             )
         else:
-            if pad_lens is not None:
-                mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
-            if chunk_left is not None:
-                cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
-                mask = cmask if mask is None else (mask & cmask)
-            if kv_start is not None:
-                smask = jnp.broadcast_to(
-                    jnp.arange(s)[None, None, :] >= kv_start[:, None, None], (b, t, s)
-                )
-                mask = smask if mask is None else (mask & smask)
+            mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
     if attn_w is None:
         from k2transducerasr_tpu.ops.attention import rel_shift

@@ -451,16 +451,7 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
                 interpret=(mode == "interpret"), chunk=ch, left=lf,
                 kv_start=kv_start,
             )
-        # XLA fallback: build the equivalent boolean mask
-        if pad_lens is not None:
-            mask = L.length_mask(pad_lens, s)[:, None, :] & L.length_mask(pad_lens, t)[:, :, None]
-        if chunk_left is not None:
-            cmask = _chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
-            mask = cmask if mask is None else (mask & cmask)
-        if kv_start is not None:
-            smask = jnp.arange(s)[None, None, :] >= kv_start[:, None, None]
-            smask = jnp.broadcast_to(smask, (b, t, s))
-            mask = smask if mask is None else (mask & smask)
+        mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
     scores = jnp.einsum(
         "bthd,bshd->bhts", q.astype(k.dtype), k, preferred_element_type=jnp.float32
@@ -733,10 +724,9 @@ def _layer_forward(
 
 
 def _chunk_causal_mask(t: int, chunk: int, left: int):
-    q = jnp.arange(t)[:, None]
-    s = jnp.arange(t)[None, :]
-    cs = (q // chunk) * chunk
-    return (s <= cs + chunk - 1) & (s >= cs - left)
+    from k2transducerasr_tpu.ops.attention import chunk_causal_mask
+
+    return chunk_causal_mask(t, chunk, left)
 
 
 def _stack_forward(p, cfg: Zipformer2Config, si: int, x, valid, compute_dtype):

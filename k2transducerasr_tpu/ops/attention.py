@@ -21,6 +21,16 @@ def descending_rel_positions(t_q: int, s_kv: int) -> jnp.ndarray:
     return jnp.arange(s_kv - 1, -t_q, -1, dtype=jnp.float32)
 
 
+def chunk_causal_mask(t: int, chunk: int, left: int) -> jnp.ndarray:
+    """[t, t] bool self-attention pattern: query i attends key j iff j is in
+    [chunk_start(i) - left, chunk_start(i) + chunk) — icefall's streaming
+    chunked-attention mask, shared by every causal encoder family."""
+    q = jnp.arange(t)[:, None]
+    s = jnp.arange(t)[None, :]
+    cs = (q // chunk) * chunk
+    return (s <= cs + chunk - 1) & (s >= cs - left)
+
+
 def rel_shift(bd_desc: jnp.ndarray, s_kv: int) -> jnp.ndarray:
     """bd_desc: [..., T, R] position scores where the last axis follows
     ``descending_rel_positions`` (R = T + S - 1).  Returns [..., T, S] with

@@ -163,6 +163,30 @@ def relpos_attn_probs(
     )(lens, kv_start, qh, kh, pqh, pkh)
 
 
+def mask_from_specs(b, t, s, pad_lens=None, chunk_left=None, kv_start=None):
+    """XLA-fallback boolean mask [B, T, S] equivalent to the kernel's mask
+    specs (used by every encoder family when ``flash_attn_mode() == 'off'``):
+    ``pad_lens`` adds the query+key padding mask (the kernel masks only keys
+    — the difference lives on invalid query rows, which callers zero),
+    ``chunk_left`` the static chunk-causal pattern (T == S), ``kv_start``
+    per-lane first-valid-column gating.  Returns None if no spec is set."""
+    from k2transducerasr_tpu.ops.attention import chunk_causal_mask
+    from k2transducerasr_tpu.ops.layers import length_mask
+
+    mask = None
+    if pad_lens is not None:
+        mask = length_mask(pad_lens, s)[:, None, :] & length_mask(pad_lens, t)[:, :, None]
+    if chunk_left is not None:
+        cmask = chunk_causal_mask(t, chunk_left[0], chunk_left[1])[None]
+        mask = cmask if mask is None else (mask & cmask)
+    if kv_start is not None:
+        smask = jnp.broadcast_to(
+            jnp.arange(s)[None, None, :] >= kv_start[:, None, None], (b, t, s)
+        )
+        mask = smask if mask is None else (mask & smask)
+    return mask
+
+
 def flash_attn_mode() -> str:
     """'on' | 'off' | 'interpret' — whether _attn_weights should use the
     Pallas kernel.  Defaults to on for TPU backends; K2T_FLASH_ATTN=0 forces
