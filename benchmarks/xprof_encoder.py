@@ -60,27 +60,11 @@ def main(batch=16, utt_seconds=30.0):
     planes = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
                     key=os.path.getmtime)
     print("xplane:", planes[-1])
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    # direct xplane parse — the tensorboard_plugin_profile CSV converter
+    # cannot load in this image (protobuf generated-code version clash)
+    from benchmarks.xplane_parse import main as xmain
 
-    csv, _ = rtd.xspace_to_tool_data([planes[-1]], "framework_op_stats^", {"tqx": "out:csv;"})
-    out = os.path.join(logdir, "op_stats.csv")
-    with open(out, "w") as f:
-        f.write(csv if isinstance(csv, str) else csv.decode())
-    print("wrote", out)
-    import csv as csvmod
-
-    rows = list(csvmod.DictReader((csv if isinstance(csv, str) else csv.decode()).splitlines()))
-    key_t = None
-    for cand in ("total_self_time", "self_time", "Total self-time (us)", "avg_self_time"):
-        if rows and cand in rows[0]:
-            key_t = cand
-            break
-    if rows:
-        print("columns:", list(rows[0].keys()))
-    if key_t:
-        rows.sort(key=lambda r: -float(r[key_t] or 0))
-        for r in rows[:25]:
-            print(f"{float(r[key_t]):12.1f} {r.get('occurrences', r.get('#Occurrences','?')):>6} {r.get('operation', r.get('Operation',''))[:110]}")
+    xmain(planes[-1], 25)
 
 
 if __name__ == "__main__":

@@ -186,10 +186,16 @@ def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=No
     None.  Returns [B, T, D].
 
     Mask SPECS (``pad_lens``/``chunk_left``/``kv_start``, same semantics as
-    models/zipformer2._attn_weights) route the probs through the fused
-    Pallas kernel: the (q+u)·k + skew((q+v)·p) form maps onto the kernel's
-    q@k + skew(pos_q@pos_k) by folding pos_bias_u/v and the 1/sqrt(dh)
-    scale into the query operands.  The kernel's key-side-only masking
+    models/zipformer2._attn_shared) route the whole attention through the
+    fused probs-consumer Pallas kernel (softmax(scores) @ v in VMEM): the
+    (q+u)·k + skew((q+v)·p) form maps onto the kernel's q@k +
+    skew(pos_q@pos_k) by folding pos_bias_u/v and the 1/sqrt(dh) scale into
+    the query operands.  The fold happens in f32 before the single cast to
+    compute dtype, so in f32 compute the two paths are exactly equivalent;
+    under bf16 compute they still differ by one bf16 rounding (the kernel
+    rounds the SCALED query to bf16, the XLA fallback scales the f32
+    scores after an unscaled bf16 matmul) — BASELINE.md records ~5e-3
+    on-TPU deltas for this family.  The kernel's key-side-only masking
     differs from the query+key mask solely at invalid query rows, which
     forward() zeroes after every block.
     """
@@ -209,32 +215,37 @@ def rel_pos_attention(p, cfg: ConformerConfig, x_q, x_kv, mask, compute_dtype=No
     q_v = (q + p["v_bias"]).astype(k.dtype)
 
     has_spec = pad_lens is not None or chunk_left is not None or kv_start is not None
-    probs = None
     if has_spec and mask is None:
         from k2transducerasr_tpu.ops import attention_pallas as AP
 
         mode = AP.flash_attn_mode()
         if mode != "off":
+            # fold the 1/sqrt(dh) scale into the query operands IN F32
+            # before the single cast to compute dtype (ADVICE r4: scaling
+            # after the bf16 cast added a second rounding vs the XLA
+            # fallback, which scales the f32 scores)
+            qs = ((q + p["u"]).astype(jnp.float32) * scale).astype(k.dtype)
+            ps = ((q + p["v_bias"]).astype(jnp.float32) * scale).astype(pos.dtype)
             ch, lf = chunk_left if chunk_left is not None else (0, 0)
-            probs = AP.relpos_attn_probs(
-                (q_u * scale).astype(k.dtype), k,
-                (q_v * scale).astype(pos.dtype), pos, pad_lens,
+            # fused probs-consumer kernel: softmax(scores) @ v in VMEM, the
+            # [B,H,T,S] probs never materialize in HBM
+            ctx = AP.relpos_attn_ctx(
+                qs, k, ps, pos, v, pad_lens,
                 interpret=(mode == "interpret"), chunk=ch, left=lf,
                 kv_start=kv_start,
             )
-        else:
-            mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
+            return L.apply_linear(p["out"], ctx.reshape(b, t, h * dh), compute_dtype)
+        mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
-    if probs is None:
-        from k2transducerasr_tpu.ops.attention import rel_shift
+    from k2transducerasr_tpu.ops.attention import rel_shift
 
-        ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
-        bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
-        bd = rel_shift(bd_full, s)
-        scores = (ac + bd) * scale  # [B, H, T, S] f32
-        if mask is not None:
-            scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
+    ac = jnp.einsum("bthd,bshd->bhts", q_u, k, preferred_element_type=jnp.float32)
+    bd_full = jnp.einsum("bthd,rhd->bhtr", q_v, pos, preferred_element_type=jnp.float32)
+    bd = rel_shift(bd_full, s)
+    scores = (ac + bd) * scale  # [B, H, T, S] f32
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum(
         "bhts,bshd->bthd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32
     )

@@ -366,21 +366,35 @@ def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask
     # (ScaledLinear initial_scale=head_dim**-0.25 on both q and k).
     has_spec = pad_lens is not None or chunk_left is not None or kv_start is not None
     attn_w = None
+    fused = None
     if has_spec and mask is None:
         from k2transducerasr_tpu.ops import attention_pallas as AP
 
         mode = AP.flash_attn_mode()
         if mode != "off":
             ch, lf = chunk_left if chunk_left is not None else (0, 0)
-            attn_w = AP.relpos_attn_probs(
-                q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k, pad_lens,
-                interpret=(mode == "interpret"), chunk=ch, left=lf,
-                kv_start=kv_start,
-            )
+            import os
+
+            if os.environ.get("K2T_ATTN_FUSE", "probs") == "ctx":
+                # A/B switch: recompute-per-consumer (relpos_attn_ctx) for
+                # the two shared-weights value paths.  Like zipformer2,
+                # measured SLOWER than materializing probs once (paired
+                # xprof traces; see models/zipformer2._attn_shared) — kept
+                # for measurement only.
+                fused = dict(
+                    q=q.astype(k.dtype), pos_q=pos_q.astype(pos_k.dtype),
+                    chunk=ch, left=lf, interpret=(mode == "interpret"),
+                )
+            else:
+                attn_w = AP.relpos_attn_probs(
+                    q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k,
+                    pad_lens, interpret=(mode == "interpret"), chunk=ch,
+                    left=lf, kv_start=kv_start,
+                )
         else:
             mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
-    if attn_w is None:
+    if fused is None and attn_w is None:
         from k2transducerasr_tpu.ops.attention import rel_shift
 
         scores = jnp.einsum(
@@ -396,6 +410,15 @@ def _attention(p, cfg: ZipformerConfig, si, x, k_cache, v1_cache, v2_cache, mask
 
     def weighted(v_src_):
         v = v_src_.reshape(b, s, heads, (adim // 2) // heads)
+        if fused is not None:
+            from k2transducerasr_tpu.ops import attention_pallas as AP
+
+            ctx = AP.relpos_attn_ctx(
+                fused["q"], k, fused["pos_q"], pos_k, v, pad_lens,
+                interpret=fused["interpret"], chunk=fused["chunk"],
+                left=fused["left"], kv_start=kv_start,
+            )
+            return ctx.reshape(b, t, adim // 2)
         ctx = jnp.einsum(
             "bhts,bshd->bthd", attn_w.astype(v.dtype), v, preferred_element_type=jnp.float32
         )

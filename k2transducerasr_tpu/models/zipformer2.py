@@ -404,25 +404,43 @@ def init_params(key, cfg: Zipformer2Config):
 # ---------------------------------------------------------------------------
 
 
-def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
-                  pad_lens=None, chunk_left=None, kv_start=None):
-    """Compute shared attention weights.
+def _attn_shared(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
+                 pad_lens=None, chunk_left=None, kv_start=None):
+    """Project the shared attention inputs and return a handle the three
+    probs consumers (self_attn1, self_attn2, nonlin_attention) apply via
+    ``_attn_apply`` / ``_attn_apply_head0``.
 
     x_q: [B, T, D]; k_src: [B, S, H*qd] pre-projected keys (streaming:
     cache|chunk) or None (offline: keys taken from this same in_proj
-    evaluation — saves a duplicate projection).  Returns probs [B, H, T, S].
+    evaluation — saves a duplicate projection).
 
-    Mask specs (mutually composable, all require ``mask is None``) route to
-    the fused Pallas kernel, which computes the probs without materializing
-    the [B,H,T,R] position tensor or its skew in HBM (ops/attention_pallas.py):
+    Two modes (K2T_ATTN_FUSE env, default "probs"):
+      * probs (DEFAULT): probs [B,H,T,S] computed ONCE — by the Pallas probs
+        kernel when on, else the XLA fallback below — and shared by all
+        three consumers via einsum.  Paired xprof module traces of the
+        flagship offline program measured this at 29.9 ms vs 37.5 ms for
+        the recompute strategy: with three consumers per layer, 2x extra
+        score computes (~1.3 ms/call — the pd=4/qd=32 matmuls underutilize
+        the MXU) cost more than the ~1.2 ms/layer of probs HBM traffic
+        they avoid, refuting round 4's "probs re-read is the last 2x"
+        hypothesis.
+      * ctx (K2T_ATTN_FUSE=ctx, kept for measurement): the handle carries
+        the q/k/pos projections and mask specs; each consumer runs
+        ops/attention_pallas.relpos_attn_ctx, recomputing scores+softmax
+        per grid cell IN VMEM — nothing [T,S]-sized touches HBM.  This IS
+        the default for conformer's single-consumer attention, where no
+        extra score compute is paid and cutting the probs write+read is a
+        strict win.
+
+    Mask specs (mutually composable, all require ``mask is None``):
       * ``pad_lens`` — non-causal offline: valid key counts per lane.
       * ``chunk_left`` — offline chunk-causal: static (chunk, left) pattern.
       * ``kv_start`` — streaming: first valid [cache|chunk] key column per
         lane (cache slots before it hold unseeded history).
-    When the kernel is off the equivalent XLA mask is built below.  The two
-    paths are numerically equivalent: same NEG_INF fill, f32 softmax, and
-    the kernel's key-side-only mask differs from the query+key mask solely
-    at invalid query rows, which every caller zeroes downstream.
+    The two modes are numerically equivalent: same NEG_INF fill, f32
+    softmax, f32-accumulated probs@value with probs cast to the value dtype,
+    and the kernel's key-side-only mask differs from the query+key mask
+    solely at invalid query rows, which every caller zeroes downstream.
     """
     heads, qd, pd = cfg.num_heads[si], cfg.query_head_dim, cfg.pos_head_dim
     b, t, _ = x_q.shape
@@ -446,11 +464,40 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
         mode = AP.flash_attn_mode()
         if mode != "off":
             ch, lf = chunk_left if chunk_left is not None else (0, 0)
-            return AP.relpos_attn_probs(
-                q.astype(k.dtype), k, pos_q.astype(pos_k.dtype), pos_k, pad_lens,
-                interpret=(mode == "interpret"), chunk=ch, left=lf,
-                kv_start=kv_start,
-            )
+            interpret = mode == "interpret"
+            import os
+
+            if os.environ.get("K2T_ATTN_FUSE", "probs") == "ctx":
+                # A/B switch: recompute-per-consumer via the fused ctx
+                # kernel (relpos_attn_ctx) instead of materializing probs.
+                # MEASURED SLOWER here and kept only for measurement: paired
+                # xprof module traces of the flagship offline program read
+                # 37.5 ms (ctx) vs 29.9 ms (probs) — with THREE consumers
+                # per layer the 2x extra score computes (~1.3 ms/call; the
+                # pd=4 / qd=32 matmuls underutilize the MXU) cost more than
+                # the ~1.2 ms/layer of probs HBM traffic they avoid.  The
+                # round-4 "probs re-read is the last 2x" hypothesis
+                # (BASELINE.md:172-177) is thereby refuted by measurement.
+                # Single-consumer attention is different — conformer
+                # defaults to the ctx kernel, where it IS a strict win.
+                return {
+                    "q": q.astype(k.dtype),
+                    "k": k,
+                    "pos_q": pos_q.astype(pos_k.dtype),
+                    "pos_k": pos_k,
+                    "lens": pad_lens,
+                    "chunk": ch,
+                    "left": lf,
+                    "kv_start": kv_start,
+                    "interpret": interpret,
+                }
+            return {
+                "probs": AP.relpos_attn_probs(
+                    q.astype(k.dtype), k, pos_q.astype(pos_k.dtype),
+                    pos_k, pad_lens, interpret=interpret, chunk=ch,
+                    left=lf, kv_start=kv_start,
+                )
+            }
         mask = AP.mask_from_specs(b, t, s, pad_lens, chunk_left, kv_start)
 
     scores = jnp.einsum(
@@ -464,7 +511,41 @@ def _attn_weights(p, cfg: Zipformer2Config, si, x_q, k_src, mask, compute_dtype,
     scores = scores + rel_shift(pos_full, s)
     if mask is not None:
         scores = jnp.where(mask[:, None, :, :], scores, L.NEG_INF)
-    return jax.nn.softmax(scores, axis=-1)
+    return {"probs": jax.nn.softmax(scores, axis=-1)}
+
+
+def _attn_apply(shared, v):
+    """probs @ v for all heads.  v: [B, S, H, vd] -> ctx [B, T, H, vd]."""
+    if "probs" in shared:
+        return jnp.einsum(
+            "bhts,bshd->bthd", shared["probs"].astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    from k2transducerasr_tpu.ops import attention_pallas as AP
+
+    return AP.relpos_attn_ctx(
+        shared["q"], shared["k"], shared["pos_q"], shared["pos_k"], v,
+        shared["lens"], interpret=shared["interpret"], chunk=shared["chunk"],
+        left=shared["left"], kv_start=shared["kv_start"],
+    )
+
+
+def _attn_apply_head0(shared, v):
+    """Head-0 probs @ v (the nonlin-attention gate).  v: [B, S, hidden] ->
+    [B, T, hidden]."""
+    if "probs" in shared:
+        return jnp.einsum(
+            "bts,bsh->bth", shared["probs"][:, 0].astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        )
+    from k2transducerasr_tpu.ops import attention_pallas as AP
+
+    return AP.relpos_attn_ctx(
+        shared["q"][:, :, :1], shared["k"][:, :, :1],
+        shared["pos_q"][:, :, :1], shared["pos_k"][:, :1], v[:, :, None, :],
+        shared["lens"], interpret=shared["interpret"], chunk=shared["chunk"],
+        left=shared["left"], kv_start=shared["kv_start"],
+    )[:, :, 0]
 
 
 def _project_keys(p, cfg: Zipformer2Config, si, x, compute_dtype):
@@ -473,28 +554,34 @@ def _project_keys(p, cfg: Zipformer2Config, si, x, compute_dtype):
     projection with discarded columns."""
     heads, qd = cfg.num_heads[si], cfg.query_head_dim
     sl = slice(heads * qd, 2 * heads * qd)
-    sub = {"w": p["in_proj"]["w"][:, sl]}
+    if "w_q8" in p["in_proj"]:  # int8 mode: slice quantized columns + scales
+        sub = {
+            "w_q8": p["in_proj"]["w_q8"][:, sl],
+            "w_scale": p["in_proj"]["w_scale"][sl],
+        }
+    else:
+        sub = {"w": p["in_proj"]["w"][:, sl]}
     if "b" in p["in_proj"]:
         sub["b"] = p["in_proj"]["b"][sl]
     return L.apply_linear(sub, x, compute_dtype)
 
 
-def _self_attn(p, cfg, si, v_src, attn_w, compute_dtype):
-    """v_src: [B, S, H*vd] pre-projected values; attn_w: [B,H,T,S]."""
+def _self_attn(p, cfg, si, v_src, shared, compute_dtype):
+    """v_src: [B, S, H*vd] pre-projected values; shared: _attn_shared
+    handle (fused kernel or shared probs)."""
     heads, vd = cfg.num_heads[si], cfg.value_head_dim
     b, s, _ = v_src.shape
     v = v_src.reshape(b, s, heads, vd)
-    ctx = jnp.einsum(
-        "bhts,bshd->bthd", attn_w.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
+    ctx = _attn_apply(shared, v)
     t = ctx.shape[1]
     return L.apply_linear(p["out"], ctx.reshape(b, t, heads * vd), compute_dtype)
 
 
-def _nonlin_attention(p, dim, x, attn_w_head0, v_cached, compute_dtype):
+def _nonlin_attention(p, dim, x, shared, v_cached, compute_dtype):
     """Attention-gated nonlinearity.  x: [B, T, D] (target side);
     v_cached: [B, S-T, hidden] cached source values or None.
-    attn_w_head0: [B, T, S].  Returns (out [B,T,D], v_chunk [B,T,hidden])."""
+    shared: _attn_shared handle (head 0 is the gate's probs).
+    Returns (out [B,T,D], v_chunk [B,T,hidden])."""
     hidden = 3 * dim // 4
     proj = L.apply_linear(p["in_proj"], x, compute_dtype)
     s_gate, xv, y = jnp.split(proj, [hidden, 2 * hidden], axis=-1)
@@ -502,10 +589,7 @@ def _nonlin_attention(p, dim, x, attn_w_head0, v_cached, compute_dtype):
     v_src = v_chunk if v_cached is None else jnp.concatenate(
         [v_cached.astype(v_chunk.dtype), v_chunk], axis=1
     )
-    attended = jnp.einsum(
-        "bts,bsh->bth", attn_w_head0.astype(v_src.dtype), v_src,
-        preferred_element_type=jnp.float32,
-    )
+    attended = _attn_apply_head0(shared, v_src)
     out = L.apply_linear(p["out"], attended * y, compute_dtype)
     return out, v_chunk
 
@@ -648,7 +732,7 @@ def _layer_forward(
     else:
         k_src = None
         new_key = None
-    attn_w = _attn_weights(
+    shared = _attn_shared(
         p["attn_weights"], cfg, si, x, k_src, mask, compute_dtype,
         pad_lens=pad_lens, chunk_left=chunk_left, kv_start=kv_start,
     )
@@ -656,7 +740,7 @@ def _layer_forward(
     x = x + _apply_ff(p["ff1"], x, compute_dtype)
 
     na, nonlin_chunk = _nonlin_attention(
-        p["nonlin_attn"], dim, x, attn_w[:, 0],
+        p["nonlin_attn"], dim, x, shared,
         caches["nonlin"] if streaming else None, compute_dtype,
     )
     x = x + na
@@ -673,7 +757,7 @@ def _layer_forward(
     else:
         v1_src = v1_chunk
         new_val1 = None
-    x = x + _self_attn(p["self_attn1"], cfg, si, v1_src, attn_w, compute_dtype)
+    x = x + _self_attn(p["self_attn1"], cfg, si, v1_src, shared, compute_dtype)
 
     c1, new_conv1 = _conv_module(
         p["conv1"], dim, kernel, x,
@@ -691,7 +775,7 @@ def _layer_forward(
     else:
         v2_src = v2_chunk
         new_val2 = None
-    x = x + _self_attn(p["self_attn2"], cfg, si, v2_src, attn_w, compute_dtype)
+    x = x + _self_attn(p["self_attn2"], cfg, si, v2_src, shared, compute_dtype)
 
     c2, new_conv2 = _conv_module(
         p["conv2"], dim, kernel, x,

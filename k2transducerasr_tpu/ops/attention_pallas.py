@@ -9,11 +9,29 @@ dynamic-update-slices through HBM scratch — measured at ~230 ms of a 367 ms
 offline zipformer2 forward (xprof: 41% of device time in dynamic-update-slice
 over f32[4,16,1532*3064] buffers, plus ~2.4 GB of HBM temporaries).
 
-This kernel computes, per (batch, head, query-block) grid cell, entirely in
-VMEM:
+TWO kernels share one score/mask/skew body, computed per (batch, head,
+query-block) grid cell entirely in VMEM:
 
     scores = q @ k^T  +  skew(pos_q @ pos_k^T)         [BT, S]  (f32)
     probs  = softmax(mask(scores))                      -> out_dtype
+    ctx    = probs @ v                                  -> out_dtype   (ctx kernel)
+
+``relpos_attn_probs`` writes the probs (one HBM write, consumers read them);
+``relpos_attn_ctx`` additionally consumes the probs against a value block
+IN VMEM, so nothing [T, S]-sized ever touches HBM.
+
+Which to use is a MEASURED trade, not a principle (paired xprof module
+traces of the flagship offline program, r5):
+  * single-consumer attention (conformer): ctx is a strict win — the same
+    one score compute, and the probs write + consumer read disappear.
+  * multi-consumer attention (zipformer2's self_attn1/self_attn2/
+    nonlin_attention, zipformer v1's two value paths): probs wins, 29.9 ms
+    vs 37.5 ms whole-program — each score compute costs ~1.3 ms/call at
+    stack-0 shapes (the pd=4 / qd=32 matmuls underutilize the MXU's 128-
+    deep contraction) while the probs HBM traffic it would avoid is only
+    ~1.2 ms/layer and largely fuses into the consumers.  Round 4's
+    "probs re-read is the last 2x" hypothesis (BASELINE.md:172-177) did
+    not survive the head-to-head; K2T_ATTN_FUSE=ctx re-runs it.
 
 The skew is realized with ``pltpu.roll``'s per-row strided rotate (row t
 rolls right by ``c0 + t`` where ``c0 = (i*BT + 1 - S) mod R_pad``), which maps
@@ -53,8 +71,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9  # must match ops/layers.NEG_INF for bit-parity with XLA path
 
 
-def _kernel(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *,
-            bt, t, s, r_pad, out_dtype, chunk, left):
+def _masked_scores(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, *,
+                   bt, t, s, r_pad, chunk, left):
+    """Shared body: masked rel-pos attention scores [BT, S_blk] in f32 for
+    one (batch, head, query-block) grid cell — used by both the probs kernel
+    and the fused probs-consumer (ctx) kernel."""
     b = pl.program_id(0)
     i = pl.program_id(2)
 
@@ -89,8 +110,34 @@ def _kernel(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *,
         gq = jax.lax.broadcasted_iota(jnp.int32, (bt, s_blk), 0) + i * bt
         cs_start = (gq // chunk) * chunk
         valid &= (col <= cs_start + chunk - 1) & (col >= cs_start - left)
-    scores = jnp.where(valid, scores, NEG_INF)
+    return jnp.where(valid, scores, NEG_INF)
+
+
+def _kernel(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *,
+            bt, t, s, r_pad, out_dtype, chunk, left):
+    scores = _masked_scores(
+        lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref,
+        bt=bt, t=t, s=s, r_pad=r_pad, chunk=chunk, left=left,
+    )
     out_ref[0, 0] = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
+
+
+def _kernel_ctx(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, v_ref,
+                out_ref, *, bt, t, s, r_pad, out_dtype, chunk, left):
+    scores = _masked_scores(
+        lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref,
+        bt=bt, t=t, s=s, r_pad=r_pad, chunk=chunk, left=left,
+    )
+    probs = jax.nn.softmax(scores, axis=-1)
+    v = v_ref[0, 0]  # [S_blk, vd]
+    # cast f32 probs to the value dtype before the dot, f32 accumulation —
+    # exactly the XLA consumers' einsum("bhts,bshd->bthd",
+    # probs.astype(v.dtype), v, preferred_element_type=f32)
+    ctx = jax.lax.dot_general(
+        probs.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = ctx.astype(out_dtype)
 
 
 @functools.partial(
@@ -117,28 +164,12 @@ def relpos_attn_probs(
                            gating: positions before it are unwritten history).
     Returns probs [B, H, T, S] in ``out_dtype`` (default: q.dtype).
     """
+    (qh, kh, pqh, pkh), (lens, kv_start), (bt, r_pad) = _prep_inputs(
+        q, k, pos_q, pos_k, lens, kv_start, block_t, chunk
+    )
     b, t, h, qd = q.shape
     s = k.shape[1]
-    r = pos_k.shape[0]
-    assert r == t + s - 1, (r, t, s)
-    if chunk:
-        assert t == s, (t, s)
     out_dtype = out_dtype or q.dtype
-    bt = min(block_t, max(8, t))
-
-    if lens is None:
-        lens = jnp.full((b,), s, jnp.int32)
-    lens = lens.astype(jnp.int32)
-    if kv_start is None:
-        kv_start = jnp.zeros((b,), jnp.int32)
-    kv_start = kv_start.astype(jnp.int32)
-
-    # head-major layouts so each block's minor dims are (time, feature)
-    qh = q.transpose(0, 2, 1, 3)  # [B, H, T, qd]
-    kh = k.transpose(0, 2, 1, 3)  # [B, H, S, qd]
-    pqh = pos_q.transpose(0, 2, 1, 3)  # [B, H, T, pd]
-    r_pad = -(-r // 128) * 128
-    pkh = jnp.pad(pos_k, ((0, r_pad - r), (0, 0), (0, 0))).transpose(1, 2, 0)  # [H, pd, R_pad]
 
     grid = (b, h, pl.cdiv(t, bt))
     kernel = functools.partial(
@@ -161,6 +192,97 @@ def relpos_attn_probs(
         out_shape=jax.ShapeDtypeStruct((b, h, t, s), out_dtype),
         interpret=interpret,
     )(lens, kv_start, qh, kh, pqh, pkh)
+
+
+def _prep_inputs(q, k, pos_q, pos_k, lens, kv_start, block_t, chunk):
+    """Shared contract checks + head-major layout prep for both kernels."""
+    b, t, h, qd = q.shape
+    s = k.shape[1]
+    r = pos_k.shape[0]
+    # ValueError (not assert): these are API contracts that must survive
+    # python -O — a mismatch would silently misalign position scores
+    if r != t + s - 1:
+        raise ValueError(f"pos_k rows {r} != t+s-1 ({t}+{s}-1)")
+    if chunk and t != s:
+        raise ValueError(f"chunk-causal requires t == s, got t={t} s={s}")
+    bt = min(block_t, max(8, t))
+
+    if lens is None:
+        lens = jnp.full((b,), s, jnp.int32)
+    lens = lens.astype(jnp.int32)
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    kv_start = kv_start.astype(jnp.int32)
+
+    # head-major layouts so each block's minor dims are (time, feature)
+    qh = q.transpose(0, 2, 1, 3)  # [B, H, T, qd]
+    kh = k.transpose(0, 2, 1, 3)  # [B, H, S, qd]
+    pqh = pos_q.transpose(0, 2, 1, 3)  # [B, H, T, pd]
+    r_pad = -(-r // 128) * 128
+    pkh = jnp.pad(pos_k, ((0, r_pad - r), (0, 0), (0, 0))).transpose(1, 2, 0)  # [H, pd, R_pad]
+    return (qh, kh, pqh, pkh), (lens, kv_start), (bt, r_pad)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "interpret", "out_dtype", "chunk", "left")
+)
+def relpos_attn_ctx(
+    q, k, pos_q, pos_k, v, lens, block_t: int = 128, interpret: bool = False,
+    out_dtype=None, chunk: int = 0, left: int = 0, kv_start=None,
+):
+    """Fused softmax(q@k^T + rel_shift(pos_q@pos_k^T)) @ v — the probs are
+    consumed in VMEM and NEVER materialize in HBM.
+
+    This is the probs-consumer half of the round-4 frontier (BASELINE.md:
+    172-177): the zipformer2 layer re-reads one [B,H,T,S] probs tensor from
+    HBM three times (self_attn1 / self_attn2 / nonlin_attention).  Score
+    matmuls are cheap relative to probs IO (qd=32 per head), so each
+    consumer recomputes scores+softmax per (batch, head, query-block) grid
+    cell and immediately multiplies with its value block; per cell the HBM
+    traffic is q/k/pos blocks + v [S, vd] + ctx [BT, vd] — nothing
+    [T, S]-sized is ever written or read.
+
+    Same inputs/mask semantics as ``relpos_attn_probs``, plus:
+    v: [B, S, H, vd]  per-head values (vd may differ from qd; for the
+       nonlin-attention consumer call with H=1 slices and vd=hidden).
+    Returns ctx [B, T, H, vd] in ``out_dtype`` (default q.dtype) — equal to
+    ``einsum("bhts,bshd->bthd", probs.astype(v.dtype), v)`` with f32
+    accumulation, cast to out_dtype.
+    """
+    (qh, kh, pqh, pkh), (lens, kv_start), (bt, r_pad) = _prep_inputs(
+        q, k, pos_q, pos_k, lens, kv_start, block_t, chunk
+    )
+    b, t, h, qd = q.shape
+    s = k.shape[1]
+    vd = v.shape[-1]
+    if v.shape != (b, s, h, vd):
+        raise ValueError(f"v shape {v.shape} != {(b, s, h, vd)}")
+    out_dtype = out_dtype or q.dtype
+    vh = v.transpose(0, 2, 1, 3)  # [B, H, S, vd]
+
+    grid = (b, h, pl.cdiv(t, bt))
+    kernel = functools.partial(
+        _kernel_ctx, bt=bt, t=t, s=s, r_pad=r_pad, out_dtype=out_dtype,
+        chunk=chunk, left=left,
+    )
+    ctx = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bt, qd), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+                pl.BlockSpec((1, 1, s, qd), lambda bi, hi, ii, *_: (bi, hi, 0, 0)),
+                pl.BlockSpec((1, 1, bt, pos_q.shape[-1]), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+                pl.BlockSpec((1, pos_k.shape[-1], r_pad), lambda bi, hi, ii, *_: (hi, 0, 0)),
+                pl.BlockSpec((1, 1, s, vd), lambda bi, hi, ii, *_: (bi, hi, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bt, vd), lambda bi, hi, ii, *_: (bi, hi, ii, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, vd), out_dtype),
+        interpret=interpret,
+    )(lens, kv_start, qh, kh, pqh, pkh, vh)
+    return ctx.transpose(0, 2, 1, 3)  # [B, T, H, vd]
 
 
 def mask_from_specs(b, t, s, pad_lens=None, chunk_left=None, kv_start=None):

@@ -16,7 +16,7 @@ import pytest
 
 from k2transducerasr_tpu.ops import layers as L
 from k2transducerasr_tpu.ops.attention import rel_shift
-from k2transducerasr_tpu.ops.attention_pallas import relpos_attn_probs
+from k2transducerasr_tpu.ops.attention_pallas import relpos_attn_ctx, relpos_attn_probs
 
 
 def _xla_reference(q, k, pos_q, pos_k, lens):
@@ -290,9 +290,11 @@ def test_conformer_streaming_flash_vs_xla():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
-def test_zipformer1_flash_vs_xla():
+@pytest.mark.parametrize("fuse_mode", ["probs", "ctx"])
+def test_zipformer1_flash_vs_xla(fuse_mode):
     """Zipformer v1 offline (non-causal + causal) and streaming with the
-    kernel forced on (interpret) vs off."""
+    kernel forced on (interpret) vs off, under BOTH fuse strategies
+    (shared probs default and recompute-per-consumer ctx)."""
     from k2transducerasr_tpu.models import zipformer as Z1
 
     kw = dict(
@@ -326,13 +328,94 @@ def test_zipformer1_flash_vs_xla():
         old = os.environ.get("K2T_FLASH_ATTN")
         try:
             os.environ["K2T_FLASH_ATTN"] = "interpret"
+            os.environ["K2T_ATTN_FUSE"] = fuse_mode
             got = run_all(causal)
             os.environ["K2T_FLASH_ATTN"] = "off"
             want = run_all(causal)
         finally:
+            os.environ.pop("K2T_ATTN_FUSE", None)
             if old is None:
                 os.environ.pop("K2T_FLASH_ATTN", None)
             else:
                 os.environ["K2T_FLASH_ATTN"] = old
         for g, w in zip(got, want):
             np.testing.assert_allclose(g, w, atol=1e-5, err_msg=f"causal={causal}")
+
+
+# ---------------------------------------------------------------------------
+# Fused probs-consumer (ctx) kernel — relpos_attn_ctx
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "b,t,h,qd,vd,lens,chunk_left,kv_start",
+    [
+        (2, 100, 4, 32, 12, [100, 57], None, None),       # offline ragged
+        (1, 130, 8, 32, 12, None, (32, 64), None),        # chunk-causal, partial block
+        (3, 16, 2, 16, 48, None, None, [0, 5, 16]),       # streaming kv gating
+        (2, 64, 1, 32, 96, [64, 40], None, None),         # head-0 / nonlin shape
+    ],
+)
+def test_ctx_kernel_matches_probs_einsum(b, t, h, qd, vd, lens, chunk_left, kv_start):
+    """relpos_attn_ctx == einsum over relpos_attn_probs (the exact consumer
+    math it fuses: probs cast to v dtype, f32 accumulation)."""
+    s = t
+    r = t + s - 1
+    ks = jax.random.split(jax.random.PRNGKey(1), 5)
+    q = jax.random.normal(ks[0], (b, t, h, qd), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, qd), jnp.float32)
+    pq = jax.random.normal(ks[2], (b, t, h, 4), jnp.float32)
+    pk = jax.random.normal(ks[3], (r, h, 4), jnp.float32)
+    v = jax.random.normal(ks[4], (b, s, h, vd), jnp.float32)
+    lens_d = None if lens is None else jnp.asarray(lens, jnp.int32)
+    kv_d = None if kv_start is None else jnp.asarray(kv_start, jnp.int32)
+    ch, lf = chunk_left if chunk_left is not None else (0, 0)
+
+    probs = relpos_attn_probs(
+        q, k, pq, pk, lens_d, interpret=True, chunk=ch, left=lf, kv_start=kv_d
+    )
+    want = jnp.einsum(
+        "bhts,bshd->bthd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    got = relpos_attn_ctx(
+        q, k, pq, pk, v, lens_d, interpret=True, chunk=ch, left=lf, kv_start=kv_d
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("fuse_mode", ["probs", "ctx"])
+def test_zipformer2_fused_vs_xla_path(fuse_mode):
+    """End-to-end zipformer2 forward: both kernel strategies (shared probs
+    — the default — and recompute-per-consumer ctx) in interpret mode must
+    agree with the pure-XLA path."""
+    from k2transducerasr_tpu.models import zipformer2 as Z
+
+    cfg = Z.Zipformer2Config(
+        num_encoder_layers=(1, 1),
+        encoder_dims=(16, 32),
+        downsampling_factors=(1, 2),
+        num_heads=(2, 2),
+        feedforward_dims=(32, 48),
+        cnn_module_kernels=(7, 7),
+        query_head_dim=4,
+        value_head_dim=4,
+        pos_head_dim=2,
+        pos_dim=8,
+        embed_channels=(2, 4, 8),
+    )
+    params = Z.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 71, 80), jnp.float32)
+    lens = jnp.asarray([71, 50], jnp.int32)
+
+    os.environ["K2T_FLASH_ATTN"] = "interpret"
+    os.environ["K2T_ATTN_FUSE"] = fuse_mode
+    try:
+        out_fused, l1 = Z.forward(params, cfg, x, lens)
+    finally:
+        os.environ["K2T_FLASH_ATTN"] = "0"
+        os.environ.pop("K2T_ATTN_FUSE", None)
+    out_xla, l2 = Z.forward(params, cfg, x, lens)
+    os.environ.pop("K2T_FLASH_ATTN", None)
+    assert np.array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla), atol=5e-6)
