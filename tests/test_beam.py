@@ -86,3 +86,63 @@ def test_zero_length_lane():
     )
     res = rnnt_greedy.extract_results(toks, ts, cnt)
     assert res[1] == ([], [])
+
+
+def _full_state_equal(a: rnnt_beam.BeamState, b: rnnt_beam.BeamState):
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6)
+
+
+def test_beam_skip_matches_scan():
+    """beam_frames_skip == beam_frames (full state) across blank densities:
+    blank_bias 0 (emission nearly every frame — the skip's exact-step path
+    dominates), 3 (mixed), 8 (long all-blank stretches — the closed-form
+    skip + re-sort path dominates)."""
+    for seed, blank_bias in [(11, 0.0), (12, 3.0), (13, 8.0), (14, 8.0)]:
+        dp, dcfg, jp = _toy_models(seed=seed)
+        jp["output"]["b"] = jp["output"]["b"].at[0].add(blank_bias)
+        enc = jax.random.normal(jax.random.PRNGKey(seed + 100), (3, 50, 16))
+        lens = jnp.array([50, 23, 41])
+        enc_proj = joiner.project_encoder(jp, enc)
+        st0 = rnnt_beam.init_state(dp, dcfg, jp, batch=3, num_active_paths=4)
+        offs = jnp.array([0, 5, 0])
+        want = rnnt_beam.beam_frames(dp, dcfg, jp, st0, enc_proj, lens, offs)
+        for w in (8, 64):  # window smaller and larger than T
+            got = rnnt_beam.beam_frames_skip(
+                dp, dcfg, jp, st0, enc_proj, lens, offs, window=w
+            )
+            _full_state_equal(got, want)
+
+
+def test_beam_skip_matches_scan_extra_skip_sos():
+    dp, dcfg, jp = _toy_models(seed=21, suppress_unk=False)
+    jp["output"]["b"] = jp["output"]["b"].at[0].add(5.0)
+    enc = jax.random.normal(jax.random.PRNGKey(22), (2, 40, 16))
+    lens = jnp.array([40, 31])
+    enc_proj = joiner.project_encoder(jp, enc)
+    st0 = rnnt_beam.init_state(dp, dcfg, jp, batch=2, num_active_paths=4)
+    offs = jnp.zeros((2,), jnp.int32)
+    want = rnnt_beam.beam_frames(dp, dcfg, jp, st0, enc_proj, lens, offs, True)
+    got = rnnt_beam.beam_frames_skip(dp, dcfg, jp, st0, enc_proj, lens, offs, True)
+    _full_state_equal(got, want)
+
+
+def test_beam_skip_chunked_matches_whole():
+    """The streaming lane-pool shape: repeated beam_frames_skip chunk calls
+    (with frame offsets) == one whole-utterance scan."""
+    dp, dcfg, jp = _toy_models(seed=31)
+    jp["output"]["b"] = jp["output"]["b"].at[0].add(4.0)
+    enc = jax.random.normal(jax.random.PRNGKey(32), (2, 24, 16))
+    enc_proj = joiner.project_encoder(jp, enc)
+    st0 = rnnt_beam.init_state(dp, dcfg, jp, batch=2, num_active_paths=4)
+    want = rnnt_beam.beam_frames(
+        dp, dcfg, jp, st0, enc_proj, jnp.array([24, 24]), jnp.zeros((2,), jnp.int32)
+    )
+    state = st0
+    for c in range(0, 24, 8):
+        state = rnnt_beam.beam_frames_skip(
+            dp, dcfg, jp, state, enc_proj[:, c : c + 8],
+            jnp.array([8, 8]), jnp.array([c, c]),
+        )
+    _full_state_equal(state, want)
