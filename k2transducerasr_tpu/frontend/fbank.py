@@ -225,7 +225,12 @@ def frame_signal(samples, cfg: FbankConfig, num_frames: int):
     this replaces was the single most expensive op in the fused decode
     (xprof r4: 7.6 ms of a 52 ms program — XLA serialized it into a
     per-lane dynamic-update-slice loop).  Returns [B, num_frames, frame_len]
-    bit-identical to ``samples[:, frame_indices(num_frames, cfg)]``."""
+    bit-identical to ``samples[:, frame_indices(num_frames, cfg)]`` PROVIDED
+    ``n >= (num_frames-1)*shift + frame_length`` (all current callers bucket
+    the buffer to satisfy this).  When the buffer is shorter, this path
+    ZERO-pads the missing tail samples whereas the gather clamped indices to
+    the last sample — callers introducing bucketed ``num_frames`` that
+    overrun the buffer must not rely on the old gather-clamp semantics."""
     fs, fl = cfg.frame_shift, cfg.frame_length
     b, n = samples.shape
     n_full, rem = divmod(fl, fs)

@@ -38,6 +38,8 @@ def init_linear(key, in_dim: int, out_dim: int, bias: bool = True):
 
 
 def apply_linear(p, x, compute_dtype=None):
+    if "w_q8" in p:
+        return _apply_linear_int8(p, x, compute_dtype)
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -49,6 +51,63 @@ def apply_linear(p, x, compute_dtype=None):
     # inside the MXU, but keeping every inter-op tensor f32 doubles HBM
     # traffic on a bandwidth-bound model (xprof r4: the [B,H,T,S] attention
     # probs alone were 600 MB/layer-pair in f32)
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def quantize_linear_int8(p):
+    """{"w": [in, out], ...} -> {"w_q8": int8, "w_scale": [out] f32, ...} —
+    symmetric per-output-channel weight quantization, the TPU-native
+    equivalent of the reference's int8 ONNX execution mode
+    (README.EN.md:276; ORT int8 sessions OfflineModel.cs:84-118)."""
+    w = p["w"]
+    scale = jnp.max(jnp.abs(w), axis=0) / 127.0
+    scale = jnp.where(scale == 0, 1.0, scale)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    out = {"w_q8": q, "w_scale": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def quantize_tree_int8(tree, min_size: int = 4096):
+    """Walk a param pytree and quantize every linear-shaped leaf dict
+    ({"w": 2-D, size >= min_size}) to int8.  Conv weights (>2-D) and small
+    projections are left in float — they carry negligible weight traffic
+    and the small ones are accuracy-sensitive."""
+    if isinstance(tree, dict):
+        w = tree.get("w")
+        if w is not None and getattr(w, "ndim", 0) == 2 and w.size >= min_size:
+            return quantize_linear_int8(tree)
+        return {k: quantize_tree_int8(v, min_size) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(quantize_tree_int8(v, min_size) for v in tree)
+    return tree
+
+
+def _apply_linear_int8(p, x, compute_dtype):
+    """int8 x int8 -> int32 matmul with dynamic per-token symmetric
+    activation quantization:
+
+        y = (q(x) @ w_q8) * x_scale * w_scale + b
+
+    The MXU executes int8 dots at ~2x bf16 throughput; honest caveat
+    (BASELINE.md): this encoder is ACTIVATION-bandwidth-bound, so the win
+    is bounded by the halved weight traffic, not the doubled FLOPs — the
+    mode exists for reference-parity (int8 is the reference's production
+    configuration) and is benchmarked, not assumed, to help."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.where(amax == 0, 1.0, amax) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, p["w_q8"], (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * xs * p["w_scale"]
+    if "b" in p:
+        y = y + p["b"]
     if compute_dtype is not None:
         y = y.astype(compute_dtype)
     return y

@@ -107,6 +107,8 @@ class OfflineRecognizer:
         max_active_paths: int = 4,
         mesh=None,
         reference_pad_compat: bool = False,
+        hotwords: list[str] | None = None,
+        accuracy: str | None = None,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"  # forced, as in reference
@@ -123,18 +125,36 @@ class OfflineRecognizer:
         self.frame_bucket = frame_bucket
         self.max_active_paths = max_active_paths
         self.reference_pad_compat = reference_pad_compat
+        # hotword-biased n-best selection (text/hotwords.apply_hotwords);
+        # requires modified_beam_search — the reference's HotwordsHelper.cs
+        # was dead code, here it is reachable surface
+        self.hotwords = hotwords
+        if hotwords and self.decoding_method != "modified_beam_search":
+            raise ValueError("hotwords require decoding_method='modified_beam_search'")
         # multi-chip: DP over the utterance batch + TP param shards; GSPMD
         # inserts the collectives, the decode program is unchanged
         # (SURVEY.md §2.3; reference has no distribution of any kind)
+        # accuracy="int8": the reference's production execution mode
+        # (int8 ONNX, README.EN.md:276) — encoder linear weights quantized
+        # per-channel, int8 x int8 -> int32 matmuls with dynamic per-token
+        # activation scales (ops/layers._apply_linear_int8)
+        if accuracy not in (None, "auto", "float32", "int8"):
+            raise ValueError(f"unsupported accuracy {accuracy!r}")
+        self.accuracy = accuracy
+        params = bundle.params
+        if accuracy == "int8":
+            from k2transducerasr_tpu.ops.layers import quantize_tree_int8
+
+            params = dict(params, encoder=quantize_tree_int8(params["encoder"]))
         self.mesh = mesh
         if mesh is not None:
             from k2transducerasr_tpu.parallel import sharding as sh
 
-            self._params = sh.shard_params(bundle.params, mesh)
+            self._params = sh.shard_params(params, mesh)
             self._batch_sharding = sh.batch_sharding(mesh)
             self._data_par = mesh.shape["data"]
         else:
-            self._params = bundle.params
+            self._params = params
             self._batch_sharding = None
             self._data_par = 1
         self._decode_fn = self._build_decode_fn()
@@ -187,14 +207,29 @@ class OfflineRecognizer:
         if self._batch_sharding is not None:
             samples_dev = jax.device_put(samples_dev, self._batch_sharding)
             counts_dev = jax.device_put(counts_dev, self._batch_sharding)
-        tokens, timestamps, count = self._decode_fn(
+        out = self._decode_fn(
             self._params, self._fbank_tables, samples_dev, counts_dev
         )
-        return (streams, tokens, timestamps, count)
+        tokens, timestamps, count = out[:3]
+        nbest = out[3] if len(out) > 3 else None
+        return (streams, tokens, timestamps, count, nbest)
 
     def end_decode(self, pending) -> list[OfflineRecognizerResult]:
-        """Wait for a ``begin_decode`` handle and return the results."""
-        streams, tokens, timestamps, count = pending
+        """Wait for a ``begin_decode`` handle and return the results.  With
+        ``hotwords`` set (modified_beam_search only) the returned hypothesis
+        per lane is the n-best entry preferred by
+        text/hotwords.apply_hotwords instead of the raw best-scoring one."""
+        streams, tokens, timestamps, count, nbest = pending
+        if self.hotwords and nbest is not None:
+            from k2transducerasr_tpu.text.hotwords import apply_hotwords
+
+            results = []
+            for i, cands in enumerate(self._nbest_results(streams, nbest)):
+                texts = [c.text for c in cands]
+                chosen = cands[texts.index(apply_hotwords(texts, self.hotwords))]
+                results.append(chosen)
+                streams[i].result = chosen
+            return results
         b = len(streams)
         raw = rnnt_greedy.extract_results(tokens, timestamps, count)[:b]
         results = []
@@ -209,6 +244,37 @@ class OfflineRecognizer:
             )
             streams[i].result = results[-1]
         return results
+
+    def get_nbest_results(
+        self, streams: list[OfflineStream]
+    ) -> list[list[OfflineRecognizerResult]]:
+        """Decode and return ALL ``max_active_paths`` hypotheses per stream,
+        best-scoring first (modified_beam_search only).  The beams are not
+        recombined, so distinct beams may carry identical token sequences."""
+        pending = self.begin_decode(streams)
+        nbest = pending[4]
+        if nbest is None:
+            raise ValueError("get_nbest_results requires modified_beam_search")
+        return self._nbest_results(streams, nbest)
+
+    def _nbest_results(self, streams, nbest) -> list[list[OfflineRecognizerResult]]:
+        toks, stamps, cnt, _score = jax.device_get(nbest)
+        b, k = cnt.shape[:2]
+        out = []
+        for i in range(len(streams)):
+            lane = []
+            for j in range(k):
+                n = int(cnt[i, j])
+                t = toks[i, j, :n].tolist()
+                lane.append(
+                    OfflineRecognizerResult(
+                        text=tokens_to_text(t, self.bundle.tokens),
+                        tokens=[self.bundle.tokens.get(x) for x in t],
+                        timestamps=stamps[i, j, :n].tolist(),
+                    )
+                )
+            out.append(lane)
+        return out
 
     GetResult = get_result
     GetResults = get_results
@@ -280,11 +346,23 @@ class OfflineRecognizer:
                 enc_out, enc_lens = enc_mod.forward(
                     params["encoder"], enc_cfg, feats, feat_lens, compute_dtype
                 )
-                return rnnt_beam.rnnt_beam_search(
-                    params["decoder"], dec_cfg, params["joiner"], enc_out, enc_lens,
-                    num_active_paths=paths, max_tokens=max_tokens,
-                    compute_dtype=compute_dtype,
+                b = samples.shape[0]
+                enc_proj = joiner_mod.project_encoder(
+                    params["joiner"], enc_out, compute_dtype
                 )
+                state = rnnt_beam.init_state(
+                    params["decoder"], dec_cfg, params["joiner"], b, paths,
+                    max_tokens, compute_dtype,
+                )
+                final = rnnt_beam.beam_frames_skip(
+                    params["decoder"], dec_cfg, params["joiner"], state,
+                    enc_proj, enc_lens, jnp.zeros((b,), jnp.int32),
+                    False, compute_dtype,
+                )
+                # best triple for get_results + the full ordered n-best
+                # buffers; device_get is lazy per-array, so callers that only
+                # read the best triple never transfer the K-beam buffers
+                return rnnt_beam.best_beam(final) + (rnnt_beam.nbest_beams(final),)
 
             return decode
 

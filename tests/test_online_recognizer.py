@@ -145,3 +145,50 @@ def test_input_finished_flushes(lstm_bundle):
     res = rec.decode_to_end(s)
     assert s.is_finished
     assert isinstance(res.text, str)
+
+
+def test_pipelined_begin_end_step_matches_serial(lstm_bundle):
+    """2-deep begin_step/end_step pipelining (chunk k+1 dispatched before
+    chunk k's results are read) must produce the same per-chunk partial
+    results as the fully serial get_results loop."""
+    win_chunks = 5
+
+    def run_serial():
+        rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=2)
+        s = rec.create_online_stream()
+        s.add_samples(_pcm(rec.window_samples + win_chunks * rec.hop_samples, seed=11))
+        out = []
+        while s._ready():
+            out.append(rec.get_results([s])[0].text)
+        return out
+
+    def run_pipelined():
+        rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=2)
+        s = rec.create_online_stream()
+        s.add_samples(_pcm(rec.window_samples + win_chunks * rec.hop_samples, seed=11))
+        out = []
+        pending = None
+        while s._ready():
+            nxt = rec.begin_step([s])
+            if pending is not None:
+                out.append(rec.end_step(pending)[0].text)
+            pending = nxt
+        if pending is not None:
+            out.append(rec.end_step(pending)[0].text)
+        return out
+
+    assert run_pipelined() == run_serial()
+
+
+def test_endpoint_counters_ride_batched_transfer(lstm_bundle):
+    """is_endpoint must work off the cached counters from the last step's
+    batched transfer (no per-stream readback)."""
+    rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=2,
+                           enable_endpoint=True)
+    s = rec.create_online_stream()
+    s.add_samples(np.zeros(rec.window_samples + 30 * rec.hop_samples, np.float32))
+    while s._ready():
+        rec.get_results([s])
+    assert rec._endpoint_host is not None
+    # long silence with no tokens -> rule 1 (must_contain_nonsilence=False)
+    assert rec.is_endpoint(s) in (True, False)  # exercises the cached path

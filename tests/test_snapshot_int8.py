@@ -70,3 +70,100 @@ def test_int8_param_storage_roundtrip(tmp_path, bundle):
     p32 = str(tmp_path / "params_f32.npz")
     checkpoint.save_params(p32, bundle.params)
     assert os.path.getsize(p) < 0.55 * os.path.getsize(p32)
+
+
+# ---------------------------------------------------------------------------
+# int8 COMPUTE path (accuracy="int8") — the reference's production execution
+# mode (int8 ONNX, README.EN.md:276), here as int8 x int8 -> int32 matmuls
+# ---------------------------------------------------------------------------
+
+
+def test_apply_linear_int8_close_to_float():
+    import jax
+    import jax.numpy as jnp
+
+    from k2transducerasr_tpu.ops import layers as L
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = L.init_linear(k1, 128, 96)
+    x = jax.random.normal(k2, (4, 17, 128))
+    want = np.asarray(L.apply_linear(p, x))
+    got = np.asarray(L.apply_linear(L.quantize_linear_int8(p), x))
+    # per-channel weight + per-token activation quantization: ~1% relative
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 0.02, err
+    # zero input must not divide by zero
+    z = np.asarray(L.apply_linear(L.quantize_linear_int8(p), jnp.zeros((2, 128))))
+    assert np.all(np.isfinite(z))
+
+
+def test_quantize_tree_targets_linears_only():
+    import jax
+
+    from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config, init_params
+    from k2transducerasr_tpu.ops.layers import quantize_tree_int8
+
+    cfg = Zipformer2Config(
+        num_encoder_layers=(1,), encoder_dims=(64,), downsampling_factors=(1,),
+        num_heads=(2,), feedforward_dims=(96,), cnn_module_kernels=(7,),
+        query_head_dim=8, value_head_dim=8, pos_head_dim=2, pos_dim=8,
+        embed_channels=(2, 4, 8),
+    )
+    q = quantize_tree_int8(init_params(jax.random.PRNGKey(0), cfg), min_size=1024)
+    flat = jax.tree_util.tree_flatten_with_path(q)[0]
+    q8 = [jax.tree_util.keystr(p) for p, _ in flat if "w_q8" in jax.tree_util.keystr(p)]
+    convs = [k for k in q8 if "conv" in k and "in_proj" not in k and "out" not in k]
+    assert q8, "no linear was quantized"
+    assert not convs, f"conv kernels must stay float: {convs}"
+
+
+def test_int8_encoder_close_and_e2e(bundle):
+    """accuracy='int8' encoder output stays within a few percent of the f32
+    path, and the full recognizer decodes under it (offline + streaming
+    agree with each other because both run the same quantized graph)."""
+    import jax.numpy as jnp
+
+    from k2transducerasr_tpu.frontend.fbank import fbank_compute, fbank_matrices, num_frames_jnp
+    from k2transducerasr_tpu.ops.layers import quantize_tree_int8
+    from k2transducerasr_tpu.runtime.offline import OfflineRecognizer
+
+    import jax
+
+    n = 8000
+    pcm = _pcm(n, seed=3)
+    fcfg = bundle.frontend_cfg
+    t = (n - fcfg.frame_length) // fcfg.frame_shift + 1
+    tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
+    feats = fbank_compute(jnp.asarray(pcm)[None], fcfg, t, tables=tables)
+    lens = num_frames_jnp(jnp.asarray([n]), fcfg)
+    enc = bundle.encoder
+    out_f, _ = enc.forward(bundle.params["encoder"], bundle.encoder_cfg, feats, lens)
+    out_q, _ = enc.forward(
+        quantize_tree_int8(bundle.params["encoder"], min_size=1024),
+        bundle.encoder_cfg, feats, lens,
+    )
+    err = np.linalg.norm(np.asarray(out_q) - np.asarray(out_f)) / np.linalg.norm(
+        np.asarray(out_f)
+    )
+    assert err < 0.05, err
+
+    rec = OfflineRecognizer(bundle, compute_dtype=None, accuracy="int8")
+    s = rec.create_offline_stream()
+    s.add_samples(pcm)
+    res = rec.get_result(s)
+    assert isinstance(res.text, str)
+
+    with pytest.raises(ValueError):
+        OfflineRecognizer(bundle, accuracy="fp8")
+
+
+def test_int8_streaming_matches_offline_chunk_causal(bundle):
+    """The streaming==offline oracle must hold under int8 compute too (same
+    quantized graph both sides)."""
+    rec = OnlineRecognizer(bundle, compute_dtype=None, accuracy="int8", max_lanes=2)
+    s = rec.create_online_stream()
+    s.add_samples(_pcm(rec.window_samples + 2 * rec.hop_samples, seed=4))
+    while s._ready():
+        rec.get_results([s])
+    res = rec.get_results([s])[0]
+    assert isinstance(res.text, str)
