@@ -8,8 +8,12 @@ Reference surface (``Examples/Program.cs:16-23,165-205``):
   model's ``test_wavs`` directory; prints per-file text + elapsed/total
   duration/RTF (Examples/OfflineRecognizer.cs:184-190).
 
-Extras beyond the reference: ``-method greedy_search|modified_beam_search``
-and ``convert`` subcommand (ONNX export -> framework model dir).
+Extras beyond the reference: ``-method greedy_search|modified_beam_search``,
+``-hotwords "w1,w2"`` (n-best hotword preference, beam search only),
+``-accuracy int8`` additionally runs the int8 COMPUTE path (the reference's
+int8 models imply int8 kernels; here file preference and kernel mode are
+both keyed on the same flag), and a ``convert`` subcommand (ONNX export ->
+framework model dir).
 
 Usage:
     python -m k2transducerasr_tpu.cli -base /models -model my-model \
@@ -40,6 +44,7 @@ def parse_args(argv: list[str]) -> dict:
         "accuracy": _env("ACCURACY", ""),
         "threads": int(_env("THREADS", "0") or 0),
         "method": "greedy_search",
+        "hotwords": "",
         "files": [],
     }
     i = 0
@@ -49,7 +54,8 @@ def parse_args(argv: list[str]) -> dict:
             while i + 1 < len(argv) and not argv[i + 1].startswith("-"):
                 i += 1
                 opts["files"].append(argv[i])
-        elif a in ("-base", "-type", "-batch", "-model", "-accuracy", "-method"):
+        elif a in ("-base", "-type", "-batch", "-model", "-accuracy", "-method",
+                   "-hotwords"):
             i += 1
             opts[a[1:]] = argv[i]
         elif a == "-threads":
@@ -79,6 +85,12 @@ def run(opts: dict) -> int:
         print(f"model directory not found: {model_dir}", file=sys.stderr)
         return 2
     bundle = ModelBundle.from_dir(model_dir, accuracy=opts["accuracy"])
+    # -accuracy int8 also selects the int8 COMPUTE path (reference parity:
+    # its int8 model files run ORT int8 kernels)
+    compute_accuracy = "int8" if opts["accuracy"] == "int8" else None
+    hotwords = [h.strip() for h in opts["hotwords"].split(",") if h.strip()] or None
+    if hotwords:
+        opts["method"] = "modified_beam_search"
 
     files = opts["files"]
     if not files:
@@ -95,7 +107,8 @@ def run(opts: dict) -> int:
     if opts["type"] == "offline":
         from k2transducerasr_tpu.runtime.offline import OfflineRecognizer
 
-        rec = OfflineRecognizer(bundle, decoding_method=opts["method"])
+        rec = OfflineRecognizer(bundle, decoding_method=opts["method"],
+                                accuracy=compute_accuracy, hotwords=hotwords)
         streams = []
         for pcm in pcms:
             s = rec.create_offline_stream()
@@ -112,6 +125,8 @@ def run(opts: dict) -> int:
             bundle,
             decoding_method=opts["method"],
             max_lanes=max(1, len(pcms)) if opts["batch"] == "multi" else 1,
+            accuracy=compute_accuracy,
+            hotwords=hotwords,
         )
         results = []
         if opts["batch"] == "multi":

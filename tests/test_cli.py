@@ -64,3 +64,22 @@ def test_cli_missing_model(capsys):
 def test_cli_unknown_flag():
     with pytest.raises(SystemExit):
         parse_args(["-bogus"])
+
+
+def test_parse_hotwords_flag():
+    opts = parse_args(["-hotwords", "hello,world", "-accuracy", "int8"])
+    assert opts["hotwords"] == "hello,world"
+    assert opts["accuracy"] == "int8"
+
+
+def test_cli_hotwords_beam(model_dir, capsys):
+    """-hotwords forces modified_beam_search and decodes end-to-end."""
+    rc = main(["-base", model_dir, "-type", "offline", "-hotwords", "zzz"])
+    assert rc == 0
+    assert "rtf:" in capsys.readouterr().out
+
+
+def test_cli_int8_compute(model_dir, capsys):
+    rc = main(["-base", model_dir, "-type", "offline", "-accuracy", "int8"])
+    assert rc == 0
+    assert "rtf:" in capsys.readouterr().out
