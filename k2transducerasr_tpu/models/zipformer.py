@@ -263,10 +263,10 @@ def init_params(key, cfg: ZipformerConfig):
 
 
 def _embed_forward(p, cfg: ZipformerConfig, x, compute_dtype=None):
-    h = x[..., None]
-    h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))  # freq pad 1 (conv1 padding=(0,1))
-    h = double_swish(L.apply_conv2d(p["conv1"], h, strides=(1, 1), compute_dtype=compute_dtype))
-    h = double_swish(L.apply_conv2d(p["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
+    # conv1 (freq pad 1, time VALID) as a banded matmul — see
+    # ops/layers.apply_conv2d_c1_banded for the measured rationale
+    h = double_swish(L.apply_conv2d_c1_banded(p["conv1"], x, compute_dtype=compute_dtype))
+    h = double_swish(L.apply_conv2d_banded_s2(p["conv2"], h, compute_dtype=compute_dtype))
     h = double_swish(L.apply_conv2d(p["conv3"], h, strides=(1, 2), compute_dtype=compute_dtype))
     b, t0, f, c = h.shape
     # channel-major [C, F] flatten — icefall's x.transpose(1, 2).view(b, t, c*f)

@@ -172,10 +172,11 @@ def _embed_conv_stack(p, x, compute_dtype=None):
     conv3 (VALID, s=1 time): -2 => total (T-7)//2, receptive field 9,
     stride 2.  Freq (pad 1 on conv1): 80 -> 80 -> 39 -> 19.  SwooshR after
     each conv (icefall Conv2dSubsampling)."""
-    h = x[..., None]  # [B, T, F, 1]
-    h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (0, 0)))
-    h = L.swoosh_r(L.apply_conv2d(p["conv1"], h, strides=(1, 1), compute_dtype=compute_dtype))
-    h = L.swoosh_r(L.apply_conv2d(p["conv2"], h, strides=(2, 2), compute_dtype=compute_dtype))
+    # conv1 as a banded matmul: same products/f32 accumulation, avoids the
+    # ~2.5 ms of XLA layout copies around the conv form (ops/layers
+    # apply_conv2d_c1_banded docstring has the measurement)
+    h = L.swoosh_r(L.apply_conv2d_c1_banded(p["conv1"], x, compute_dtype=compute_dtype))
+    h = L.swoosh_r(L.apply_conv2d_banded_s2(p["conv2"], h, compute_dtype=compute_dtype))
     h = L.swoosh_r(L.apply_conv2d(p["conv3"], h, strides=(1, 2), compute_dtype=compute_dtype))
     return h
 

@@ -243,6 +243,92 @@ def apply_conv1d(p, x, groups: int = 1, padding="SAME", compute_dtype=None):
     return y
 
 
+def apply_conv2d_c1_banded(p, x, compute_dtype=None):
+    """The embed stacks' first conv (3x3, C_in=1, stride 1, freq pad 1,
+    time VALID) as ONE banded matmul plus 3 time-shifted adds.
+
+    Why: XLA's conv lowering for this op materializes the f32
+    [B,T,F,c1] activation in one layout, copies it to another, and copies
+    again for the bf16 cast — ~4.0 ms of the 29.9 ms flagship program was
+    this one tiny-FLOP conv (r5 xprof).  The banded form computes the SAME
+    products with f32 accumulation as a [B,T,F+2] @ [F+2, 3*F*c1] matmul in
+    the activations' natural layout: measured 3.49 vs 5.96 ms/iter in the
+    isolated harness (benchmarks/embed_sweep.py), parity to 2e-5 f32.
+    The dense band wastes (F+2)/3 x the conv's FLOPs, which is free here
+    (the op is layout/bandwidth-bound, c1 = 8).
+
+    p: {"w": [3, 3, 1, c1], "b": [c1]} — the ordinary conv2d params, so
+    importers are untouched.  x: [B, T, F] -> [B, T-2, F, c1].
+    """
+    w = p["w"]
+    k_t, k_f, _, c1 = w.shape
+    b_, t, f = x.shape
+    fp = f + k_f - 1  # padded freq width
+    # E[df, g, f'] = 1 iff g == f' + df: band[dt, g, f', c] = w[dt, g-f', 0, c];
+    # K axis is (dt, g) so the 3 time-shifted input copies concatenate along
+    # K and ONE dot produces the final output — a first version emitted a
+    # [B, T, 3, F, c1] f32 partials tensor (377 MB at bench shapes) and paid
+    # ~1.3 ms materializing + re-reading it
+    eye = jnp.stack([jnp.eye(fp, f, -df, dtype=w.dtype) for df in range(k_f)])
+    band = jnp.einsum("egf,dec->dgfc", eye, w[:, :, 0, :]).reshape(k_t * fp, f * c1)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))  # freq SAME
+    if compute_dtype is not None:
+        xp = xp.astype(compute_dtype)
+        band = band.astype(compute_dtype)
+    x3 = jnp.concatenate(
+        [xp[:, dt : t - (k_t - 1) + dt] for dt in range(k_t)], axis=-1
+    )  # [B, T-2, 3*(F+2)]
+    y = jnp.matmul(x3, band, preferred_element_type=jnp.float32)
+    y = y.reshape(b_, t - (k_t - 1), f, c1)
+    if "b" in p:
+        y = y + p["b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
+def apply_conv2d_banded_s2(p, x, compute_dtype=None):
+    """3x3 conv, stride (2,2), VALID both dims, as 3 strided matmuls + add
+    — the embed stacks' conv2 (C_in=8 -> 32 at F=80).
+
+    Same rationale as apply_conv2d_c1_banded: the conv form forces a
+    ~1.5 ms layout copy of its [B,T,F,8] bf16 input plus a ~1.1 ms conv
+    fusion in the flagship program; the banded form reads the conv1 output
+    in its natural [B, T, F*Ci] layout.  The dense band wastes ~(F/3)x the
+    conv's FLOPs (118 vs 5.5 GFLOP at bench shapes) which is still only
+    ~0.6 ms of MXU time — this op is layout-bound, not FLOP-bound.
+
+    p: {"w": [3, 3, Ci, Co], "b": [Co]}.  x: [B, T, F, Ci] ->
+    [B, (T-3)//2+1, (F-3)//2+1, Co], f32 accumulation per output.
+    """
+    w = p["w"]
+    b_, t, f, ci = x.shape
+    co = w.shape[-1]
+    t2 = (t - 3) // 2 + 1
+    f2 = (f - 3) // 2 + 1
+    # E[df, fi, f2'] = 1 iff fi == 2*f2' + df
+    fi = jnp.arange(f)[None, :, None]
+    f2i = jnp.arange(f2)[None, None, :]
+    df = jnp.arange(3)[:, None, None]
+    eye = (fi == 2 * f2i + df).astype(w.dtype)  # [3, F, F2]
+    band = jnp.einsum("efg,deio->dfigo", eye, w).reshape(3, f * ci, f2 * co)
+    xf = x.reshape(b_, t, f * ci)
+    if compute_dtype is not None:
+        xf = xf.astype(compute_dtype)
+        band = band.astype(compute_dtype)
+    y = None
+    for dt in range(3):
+        rows = xf[:, dt : dt + 2 * (t2 - 1) + 1 : 2]  # [B, T2, F*Ci]
+        z = jnp.matmul(rows, band[dt], preferred_element_type=jnp.float32)
+        y = z if y is None else y + z
+    y = y.reshape(b_, t2, f2, co)
+    if "b" in p:
+        y = y + p["b"]
+    if compute_dtype is not None:
+        y = y.astype(compute_dtype)
+    return y
+
+
 def init_conv2d(key, in_ch: int, out_ch: int, kernel: tuple[int, int], bias: bool = True):
     kw, kb = jax.random.split(key)
     fan_in = in_ch * kernel[0] * kernel[1]
