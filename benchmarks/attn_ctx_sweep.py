@@ -102,3 +102,39 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "pos_vpu"))
+def chain_probs_vpu(q, k, pq, pk, lens, bt, pos_vpu):
+    def once(y):
+        qq = q + y.astype(q.dtype)
+        w = relpos_attn_probs(qq, k, pq, pk, lens, block_t=bt, pos_vpu=pos_vpu)
+        return jnp.sum(w.astype(jnp.float32))
+
+    return jax.lax.fori_loop(0, ITERS, lambda i, y: once(y) * 1e-9, jnp.float32(0.0))
+
+
+def main_posvpu():
+    print("backend:", jax.default_backend())
+    b, h, t, qd, pd = 16, 4, 1532, 32, 4
+    s = t
+    r = t + s - 1
+    ks = jax.random.split(jax.random.PRNGKey(0), 5)
+    q = jax.device_put(jax.random.normal(ks[0], (b, t, h, qd), jnp.bfloat16))
+    k = jax.device_put(jax.random.normal(ks[1], (b, s, h, qd), jnp.bfloat16))
+    pq = jax.device_put(jax.random.normal(ks[2], (b, t, h, pd), jnp.bfloat16))
+    pk = jax.device_put(jax.random.normal(ks[3], (r, h, pd), jnp.bfloat16))
+    lens = jax.device_put(jnp.full((b,), s, jnp.int32))
+    for pos_vpu in (False, True):
+        for bt in (128, 256):
+            t0 = time.perf_counter()
+            float(chain_probs_vpu(q, k, pq, pk, lens, bt, pos_vpu))
+            tc = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(chain_probs_vpu(q, k, pq, pk, lens, bt, pos_vpu))
+            wall = time.perf_counter() - t0
+            print(f"probs pos_vpu={pos_vpu} bt={bt}: {wall/ITERS*1e3:7.2f} ms/iter (first {tc:.1f} s)")
+
+
+if __name__ == "__main__" and os.environ.get("K2T_SWEEP") == "posvpu":
+    main_posvpu()

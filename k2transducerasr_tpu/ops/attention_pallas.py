@@ -72,7 +72,7 @@ NEG_INF = -1e9  # must match ops/layers.NEG_INF for bit-parity with XLA path
 
 
 def _masked_scores(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, *,
-                   bt, t, s, r_pad, chunk, left):
+                   bt, t, s, r_pad, chunk, left, pos_vpu=False):
     """Shared body: masked rel-pos attention scores [BT, S_blk] in f32 for
     one (batch, head, query-block) grid cell — used by both the probs kernel
     and the fused probs-consumer (ctx) kernel."""
@@ -88,9 +88,20 @@ def _masked_scores(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, *,
 
     pq = pq_ref[0, 0]  # [BT, pd]
     pk = pk_ref[0]  # [pd, R_pad]
-    m = jax.lax.dot_general(
-        pq, pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BT, R_pad]
+    if pos_vpu:
+        # pd is 4: a K=4 MXU dot runs the systolic array at ~3% utilization;
+        # pd broadcast multiply-adds on the VPU can beat it (A/B measured in
+        # benchmarks/attn_ctx_sweep.py — kept behind a flag either way)
+        pd = pq.shape[1]
+        pqf = pq.astype(jnp.float32)
+        pkf = pk.astype(jnp.float32)
+        m = pqf[:, 0:1] * pkf[0:1, :]
+        for j in range(1, pd):
+            m = m + pqf[:, j : j + 1] * pkf[j : j + 1, :]
+    else:
+        m = jax.lax.dot_general(
+            pq, pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BT, R_pad]
     # roll right by (c0 + tl) on row tl: out[tl, j] = m[tl, (j - c0 - tl) mod
     # R_pad] = m[tl, (T-1) - (i*BT + tl) + j] for j < S — ops/attention.
     # rel_shift's exact relation (queries are the LAST T positions of the kv
@@ -114,10 +125,10 @@ def _masked_scores(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, *,
 
 
 def _kernel(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, out_ref, *,
-            bt, t, s, r_pad, out_dtype, chunk, left):
+            bt, t, s, r_pad, out_dtype, chunk, left, pos_vpu=False):
     scores = _masked_scores(
         lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref,
-        bt=bt, t=t, s=s, r_pad=r_pad, chunk=chunk, left=left,
+        bt=bt, t=t, s=s, r_pad=r_pad, chunk=chunk, left=left, pos_vpu=pos_vpu,
     )
     out_ref[0, 0] = jax.nn.softmax(scores, axis=-1).astype(out_dtype)
 
@@ -141,11 +152,13 @@ def _kernel_ctx(lens_ref, start_ref, q_ref, k_ref, pq_ref, pk_ref, v_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_t", "interpret", "out_dtype", "chunk", "left")
+    jax.jit,
+    static_argnames=("block_t", "interpret", "out_dtype", "chunk", "left", "pos_vpu"),
 )
 def relpos_attn_probs(
-    q, k, pos_q, pos_k, lens, block_t: int = 128, interpret: bool = False,
+    q, k, pos_q, pos_k, lens, block_t: int = 256, interpret: bool = False,
     out_dtype=None, chunk: int = 0, left: int = 0, kv_start=None,
+    pos_vpu: bool = True,
 ):
     """Fused softmax(q@k^T + rel_shift(pos_q@pos_k^T)) with key-side masks.
 
@@ -174,7 +187,7 @@ def relpos_attn_probs(
     grid = (b, h, pl.cdiv(t, bt))
     kernel = functools.partial(
         _kernel, bt=bt, t=t, s=s, r_pad=r_pad, out_dtype=out_dtype, chunk=chunk,
-        left=left,
+        left=left, pos_vpu=pos_vpu,
     )
     return pl.pallas_call(
         kernel,
