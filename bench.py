@@ -267,27 +267,33 @@ def _measure_streaming(log):
         f"p95 {pp95:.1f} ms  RTF {pp50/1e3/chunk_s:.4f}  ({len(plat)} steps)"
     )
 
-    # saturated serving capacity: 64 lanes, pipelined drive to drain
+    # saturated serving capacity: 64 lanes, pipelined drive to drain.
+    # windows_per_step=4 additionally amortizes the ~25 ms dispatch RTT over
+    # 4 chunks per lane per dispatch (device compute is ~5 ms/step at B=64;
+    # the tunnel transfer + RTT are the whole cost)
     big = 64
-    rec64 = OnlineRecognizer(bundle, max_lanes=big)
-    streams = _feed_streams(rec64, big, 8.0, 2200)
-    rec64.get_results(streams)  # compile B=64 + warm (one chunk consumed)
-    steps = 0
-    t0 = time.perf_counter()
-    pending = rec64.begin_step(streams)
-    while any(s._ready() for s in streams):
-        nxt = rec64.begin_step(streams)
+    for wps in (1, 4):
+        rec64 = OnlineRecognizer(bundle, max_lanes=big, windows_per_step=wps)
+        streams = _feed_streams(rec64, big, 8.0 * wps, 2200)
+        rec64.get_results(streams)  # compile B=64 + warm
+        steps = 0
+        consumed0 = sum(s._consumed for s in streams)
+        t0 = time.perf_counter()
+        pending = rec64.begin_step(streams)
+        while any(s._ready() for s in streams):
+            nxt = rec64.begin_step(streams)
+            rec64.end_step(pending)
+            pending = nxt
+            steps += 1
         rec64.end_step(pending)
-        pending = nxt
-        steps += 1
-    rec64.end_step(pending)
-    wall = time.perf_counter() - t0
-    audio_s = (steps + 1) * big * chunk_s  # +1: the in-flight pending step
-    log(
-        f"streaming saturated ({big} lanes, {chunk_s*1e3:.0f} ms chunks): "
-        f"{audio_s / wall:.0f} audio-s/s/chip sustained ({steps + 1} steps, "
-        f"{wall*1e3/(steps+1):.1f} ms/step)"
-    )
+        wall = time.perf_counter() - t0
+        rate = bundle.frontend_cfg.sample_rate
+        audio_s = (sum(s._consumed for s in streams) - consumed0) / rate
+        log(
+            f"streaming saturated ({big} lanes, {chunk_s*1e3:.0f} ms chunks, "
+            f"{wps} windows/step): {audio_s / wall:.0f} audio-s/s/chip "
+            f"sustained ({steps + 1} steps, {wall*1e3/(steps+1):.1f} ms/step)"
+        )
 
 
 def main():

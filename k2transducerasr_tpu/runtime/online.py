@@ -138,6 +138,7 @@ class OnlineRecognizer:
         mesh=None,
         hotwords: list[str] | None = None,
         accuracy: str | None = None,
+        windows_per_step: int = 1,
     ):
         if bundle.is_ctc:
             decoding_method = "greedy_search_ctc"
@@ -159,6 +160,15 @@ class OnlineRecognizer:
         self.compute_dtype = compute_dtype
         self.max_lanes = max_lanes
         self.max_tokens = max_tokens
+        # >1: each dispatch drains up to this many buffered full windows per
+        # lane (device-side lax.scan over windows, ONE decode pass over the
+        # concatenated encoder output).  Saturated serving is dispatch-RTT
+        # bound through the tunnel (~25 ms/step vs ~5 ms device at 64
+        # lanes); batching windows amortizes it.  Latency-sensitive loops
+        # keep the default 1.
+        if windows_per_step < 1:
+            raise ValueError("windows_per_step must be >= 1")
+        self.windows_per_step = windows_per_step
         # accuracy="int8": see OfflineRecognizer — int8 encoder matmuls
         if accuracy not in (None, "auto", "float32", "int8"):
             raise ValueError(f"unsupported accuracy {accuracy!r}")
@@ -258,16 +268,31 @@ class OnlineRecognizer:
         caches are), so a later step cannot invalidate them."""
         active = [s for s in streams if s._ready()]
         if active:
-            windows = np.zeros((self.max_lanes, self.window_samples), np.float32)
-            mask = np.zeros((self.max_lanes,), bool)
+            # windows ship as int16 — bit-exact for PCM16 sources and HALF
+            # the tunnel bytes.  This matters enormously: the 64-lane step's
+            # device time is ~5 ms (xprof), but 3 MB of f32 windows through
+            # the ~47 MB/s tunnel made each step ~93 ms — the transfer IS
+            # the streaming serving bottleneck, exactly as on the offline
+            # path (runtime/offline.py ships int16 for the same reason).
+            wps = self.windows_per_step
+            windows = np.zeros(
+                (self.max_lanes, wps, self.window_samples), np.int16
+            )
+            wcount = np.zeros((self.max_lanes,), np.int32)
             for s in active:
-                windows[s.lane] = s._take_window()
-                mask[s.lane] = True
+                k = 0
+                while k < wps and s._ready():
+                    w = s._take_window()
+                    windows[s.lane, k] = np.clip(
+                        w * 32768.0, -32768, 32767
+                    ).astype(np.int16)
+                    k += 1
+                wcount[s.lane] = k
             windows_dev = jnp.asarray(windows)
-            mask_dev = jnp.asarray(mask)
+            wcount_dev = jnp.asarray(wcount)
             if self._batch_sharding is not None:
                 windows_dev = jax.device_put(windows_dev, self._batch_sharding)
-                mask_dev = jax.device_put(mask_dev, self._batch_sharding)
+                wcount_dev = jax.device_put(wcount_dev, self._batch_sharding)
             self._enc_state, self._dec_state, self._frame_count = self._step_fn(
                 self._params,
                 self._fbank_tables,
@@ -275,7 +300,7 @@ class OnlineRecognizer:
                 self._dec_state,
                 self._frame_count,
                 windows_dev,
-                mask_dev,
+                wcount_dev,
             )
         # ONE host transfer for all lanes (tunnel round-trips dominate
         # streaming latency; per-stream indexed reads cost ~3 RTTs each).
@@ -517,22 +542,44 @@ class OnlineRecognizer:
 
         self._fbank_tables = tuple(jnp.asarray(m) for m in fbank_matrices(fcfg))
 
+        wps = self.windows_per_step
+
         # only the encoder caches (argnum 2, the large state) are donated:
         # the decode-state and frame-count buffers must stay readable AFTER
         # a subsequent step is dispatched, so begin_step handles can overlap
         # the next chunk's dispatch with this chunk's readback (they are a
         # few KB — donation saved nothing there)
         @functools.partial(jax.jit, donate_argnums=(2,))
-        def step(params, tables, enc_state, dec_state, frame_count, windows, active):
-            feats = fbank_compute(windows, fcfg, feat_window, tables=tables)
-            enc_out, new_enc_state = enc_mod.streaming_step(
-                params["encoder"], enc_cfg, enc_state, feats, compute_dtype
-            )
-            # freeze state for inactive lanes
-            new_enc_state = jax.tree.map(
-                lambda new, old: _where_lane(active, new, old), new_enc_state, enc_state
-            )
-            lens = jnp.where(active, chunk, 0)
+        def step(params, tables, enc_state, dec_state, frame_count, windows, wcount):
+            # windows: [L, W, n] int16 (transfer bandwidth; see begin_step);
+            # wcount: [L] windows ready per lane this round.  The encoder
+            # scans the W window slots, freezing each lane's state on slots
+            # past its count — identical math to W separate steps.
+            def enc_one(state, wk):
+                win_k, act_k = wk  # [L, n] int16, [L] bool
+                samples = win_k.astype(jnp.float32) * (1.0 / 32768.0)
+                feats = fbank_compute(samples, fcfg, feat_window, tables=tables)
+                out, new_state = enc_mod.streaming_step(
+                    params["encoder"], enc_cfg, state, feats, compute_dtype
+                )
+                new_state = jax.tree.map(
+                    lambda new, old: _where_lane(act_k, new, old), new_state, state
+                )
+                return new_state, out
+
+            acts = wcount[None, :] > jnp.arange(wps)[:, None]  # [W, L]
+            if wps == 1:
+                # no scan machinery for the common latency path
+                new_enc_state, out0 = enc_one(enc_state, (windows[:, 0], acts[0]))
+                enc_out = out0
+            else:
+                new_enc_state, outs = jax.lax.scan(
+                    enc_one, enc_state, (jnp.swapaxes(windows, 0, 1), acts)
+                )  # outs: [W, L, chunk, D]
+                enc_out = jnp.swapaxes(outs, 0, 1).reshape(
+                    outs.shape[1], wps * chunk, outs.shape[3]
+                )
+            lens = wcount * chunk
             if method == "greedy_search_ctc":
                 lp = ctc_mod.log_probs(params["ctc"], enc_out, compute_dtype)
                 new_dec = ctc_greedy.ctc_frames(dec_state, lp, lens, frame_count)
@@ -555,7 +602,7 @@ class OnlineRecognizer:
                     True,  # online also skips <sos/eos>=1 (OnlineRecognizer.cs:181)
                     compute_dtype,
                 )
-            new_count = frame_count + jnp.where(active, chunk, 0)
+            new_count = frame_count + lens
             return new_enc_state, new_dec, new_count
 
         return step

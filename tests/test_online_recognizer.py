@@ -14,9 +14,14 @@ from k2transducerasr_tpu.runtime.online import OnlineRecognizer
 def _pcm(n, seed=0):
     rng = np.random.default_rng(seed)
     t = np.arange(n) / 16000.0
-    return (0.3 * np.sin(2 * np.pi * 400 * t) + 0.1 * rng.standard_normal(n)).astype(
+    x = (0.3 * np.sin(2 * np.pi * 400 * t) + 0.1 * rng.standard_normal(n)).astype(
         np.float32
     )
+    # pre-quantize to the PCM16 grid: the online recognizer ships windows as
+    # int16 (transfer bandwidth — see OnlineRecognizer.begin_step), which is
+    # EXACT for PCM16-grid samples, so the f32 module-level oracle sees
+    # identical values
+    return (np.clip(np.round(x * 32768.0), -32768, 32767) / 32768.0).astype(np.float32)
 
 
 @pytest.fixture(scope="module")
@@ -192,3 +197,22 @@ def test_endpoint_counters_ride_batched_transfer(lstm_bundle):
     assert rec._endpoint_host is not None
     # long silence with no tokens -> rule 1 (must_contain_nonsilence=False)
     assert rec.is_endpoint(s) in (True, False)  # exercises the cached path
+
+
+def test_windows_per_step_batching_matches_single(lstm_bundle):
+    """windows_per_step=3 (multi-window dispatch) must produce EXACTLY the
+    drained results of the windows_per_step=1 path, including a lane that
+    has fewer buffered windows than the batch size."""
+    def run(wps, n_a, n_b):
+        rec = OnlineRecognizer(lstm_bundle, compute_dtype=None, max_lanes=2,
+                               windows_per_step=wps)
+        sa, sb = rec.create_online_stream(), rec.create_online_stream()
+        sa.add_samples(_pcm(rec.window_samples + n_a * rec.hop_samples, seed=21))
+        sb.add_samples(_pcm(rec.window_samples + n_b * rec.hop_samples, seed=22))
+        while sa._ready() or sb._ready():
+            rec.get_results([sa, sb])
+        ra, rb = rec.get_results([sa, sb])
+        return (ra.text, ra.timestamps, rb.text, rb.timestamps)
+
+    assert run(3, 5, 2) == run(1, 5, 2)
+    assert run(4, 3, 0) == run(1, 3, 0)
