@@ -23,6 +23,18 @@ chunk window is buffered (GetDecodeChunk returns null otherwise,
 OnlineStream.cs:82-104); ``input_finished`` zero-pads the tail so the last
 partial window flushes (the reference's 30x400-zero tail flush,
 Examples/OnlineRecognizer.cs:136-139, is built in).
+
+Serving-path additions beyond the reference's synchronous API:
+  * ``begin_step``/``end_step`` — 2-deep pipelining of upload+dispatch
+    against readback (chunk latency through the tunnel is RTT-dominated);
+  * int16 window transfer (bit-exact for PCM16 sources, half the bytes —
+    the 64-lane step is ~5 ms device compute but was 93 ms with f32
+    windows through the ~47 MB/s tunnel);
+  * ``windows_per_step`` — saturated servers drain several buffered
+    windows per dispatch (device-side scan, exact vs repeated steps);
+  * ``get_nbest_results``/``hotwords`` (beam), ``accuracy="int8"``,
+    ``snapshot_stream``/``restore_stream``, endpoint counters riding the
+    batched result transfer.
 """
 
 from __future__ import annotations
