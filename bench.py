@@ -297,6 +297,26 @@ def _measure_streaming(log):
 
 
 def main():
+    # Streaming FIRST, in a fresh subprocess, BEFORE this process touches
+    # the TPU: every executable a process loads degrades its tunnel
+    # transfers (CLAUDE.md), and the streaming sections are per-step
+    # transfer-bound — measured in-process AFTER the offline diagnostics
+    # they read up to 10x worse (p50 175 ms / 58 audio-s/s saturated) than
+    # the same code in a clean process (35 ms / 734 audio-s/s).  The
+    # subprocess owns the chip exclusively while this process is still
+    # uninitialized.
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import bench; bench._measure_streaming(bench.log)"],
+            cwd=here, check=False, timeout=2700,
+        )
+    except subprocess.TimeoutExpired:  # pragma: no cover - keep the headline
+        log("WARNING: streaming subprocess timed out; continuing")
+
     from benchmarks.stages import stage_report
     from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config
     from k2transducerasr_tpu.runtime.bundle import ModelBundle
@@ -392,8 +412,6 @@ def main():
     )
 
     _measure_beam(rec, bundle, samples_d, counts_d, batch, utt_seconds, log)
-
-    _measure_streaming(log)
 
     value = max(best, seq)
     print(

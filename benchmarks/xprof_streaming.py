@@ -41,14 +41,15 @@ def main(lanes=64):
 
     windows = np.stack(
         [synth_pcm(rec.window_samples, 3000 + i) for i in range(lanes)]
-    ).astype(np.float32)
-    windows_d = jnp.asarray(windows)
-    active_d = jnp.asarray(np.ones((lanes,), bool))
+    )[:, None, :]  # [L, W=1, n]
+    windows_i16 = np.clip(windows * 32768.0, -32768, 32767).astype(np.int16)
+    windows_d = jnp.asarray(windows_i16)
+    wcount_d = jnp.asarray(np.ones((lanes,), np.int32))
 
     def step():
         rec._enc_state, rec._dec_state, rec._frame_count = rec._step_fn(
             rec._params, rec._fbank_tables, rec._enc_state, rec._dec_state,
-            rec._frame_count, windows_d, active_d,
+            rec._frame_count, windows_d, wcount_d,
         )
 
     step()  # compile + warm

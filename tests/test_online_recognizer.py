@@ -216,3 +216,36 @@ def test_windows_per_step_batching_matches_single(lstm_bundle):
 
     assert run(3, 5, 2) == run(1, 5, 2)
     assert run(4, 3, 0) == run(1, 3, 0)
+
+
+@pytest.mark.parametrize("method", ["greedy_search_ctc", "modified_beam_search"])
+def test_windows_per_step_ctc_and_beam(method, lstm_bundle):
+    """Multi-window dispatch exactness for the other two production decode
+    paths (greedy is covered above)."""
+    if method == "greedy_search_ctc":
+        from k2transducerasr_tpu.models.zipformer2 import Zipformer2Config
+
+        cfg = Zipformer2Config(
+            num_encoder_layers=(1, 1), encoder_dims=(16, 32),
+            downsampling_factors=(1, 2), num_heads=(2, 2),
+            feedforward_dims=(32, 48), cnn_module_kernels=(7, 7),
+            query_head_dim=4, value_head_dim=4, pos_head_dim=2, pos_dim=8,
+            embed_channels=(2, 4, 8), causal=True, chunk_size=8,
+            left_context_frames=16,
+        )
+        bundle = ModelBundle.random("zipformer2ctc", cfg, vocab_size=32, seed=6)
+    else:
+        bundle = lstm_bundle
+
+    def run(wps):
+        rec = OnlineRecognizer(bundle, decoding_method=method,
+                               compute_dtype=None, max_lanes=2,
+                               windows_per_step=wps)
+        s = rec.create_online_stream()
+        s.add_samples(_pcm(rec.window_samples + 4 * rec.hop_samples, seed=31))
+        while s._ready():
+            rec.get_results([s])
+        r = rec.get_results([s])[0]
+        return (r.text, r.timestamps)
+
+    assert run(3) == run(1)
