@@ -88,8 +88,11 @@ def stage_report(rec, bundle, samples_d, counts_d, emit=print):
     def dev(t):
         """Dispatch-corrected device time: every standalone stage pays one
         host round trip (t_disp) the fused program pays once; derived
-        TF/s / GB/s / MFU use this, not the raw wall number."""
-        return max(t - t_disp, 1e-6)
+        TF/s / GB/s / MFU use this, not the raw wall number.  Floored at
+        0.3 ms: when RPC jitter makes a stage read at/below the dispatch
+        baseline, the subtraction goes to ~0 and the derived rates explode
+        into nonsense (a bad-jitter r5 run printed "22329 TF/s fbank")."""
+        return max(t - t_disp, 3e-4)
 
     front_j = jax.jit(front)
     t_front = timeit(front_j, rec._fbank_tables, samples_d, counts_d)
