@@ -100,3 +100,33 @@ def test_pinned_transcript(family, off_text, off_ts, on_text):
     # streaming must agree with offline on the real-audio prefix; the extra
     # tokens come from the zero-pad tail flush
     assert on.text.startswith(off_text) or off_text.startswith(on.text)
+
+
+def test_pinned_text_assembly_regimes():
+    """Exact pins through a REAL recognizer for the three text-assembly
+    regimes the tokN pins above cannot reach (SURVEY.md §5 contract,
+    OfflineRecognizer.cs:432-545): BPE '▁'->space + lowercase, CJK chars
+    joined without spaces, and a dangling hex byte recovered by
+    SmartByteDecode (here: dropped as an invalid UTF-8 prefix)."""
+    from k2transducerasr_tpu.models.lstm import LstmConfig
+
+    base = ["<blk>", "<sos/eos>", "<unk>", "t3", "t4", "t5"]
+    cases = [
+        (base + ["▁HE", "t7", "t8", "t9", "t10", "t11", "t12", "t13", "t14", "LLO"],
+         " hellollollollollollo"),
+        (base + ["好", "t7", "t8", "t9", "t10", "t11", "t12", "t13", "t14", "世"],
+         "好世世世世世世"),
+        (base + ["<0xE4>", "t7", "t8", "t9", "t10", "t11", "t12", "t13", "t14", "Q"],
+         "qqqqqq"),
+    ]
+    cfg = LstmConfig(d_model=32, rnn_hidden_size=48, num_layers=1, ff_dim=64,
+                     chunk_size=4)
+    for symbols, want in cases:
+        bundle = ModelBundle.random(
+            "lstm", cfg, vocab_size=16, seed=0, decoder_dim=24, joiner_dim=24,
+            symbols=symbols,
+        )
+        rec = OfflineRecognizer(bundle, compute_dtype=None)
+        s = rec.create_offline_stream()
+        s.add_samples(_pcm(6400))
+        assert rec.get_result(s).text == want
